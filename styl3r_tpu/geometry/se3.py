@@ -29,16 +29,23 @@ def skew(v: Array) -> Array:
     return rows
 
 
+def _safe_angle(theta: Array, eps: float) -> tuple[Array, Array]:
+    """(angle, small-mask) computed NaN-safely for autodiff: sqrt is only ever
+    taken of a value bounded away from zero, so d(angle)/d(theta) stays finite
+    even at theta = 0 (where the Taylor branch is selected anyway)."""
+    sq = jnp.sum(theta * theta, axis=-1)
+    small = sq < eps * eps
+    angle = jnp.sqrt(jnp.where(small, 1.0, sq))
+    return angle, small
+
+
 def so3_exp(theta: Array, eps: float = 1e-5) -> Array:
     """Rodrigues' formula with a Taylor fallback for small angles (batched)."""
     w = skew(theta)
     w2 = w @ w
-    angle = jnp.linalg.norm(theta, axis=-1)
-    small = angle < eps
-    # Guard the denominators; the masked branch ignores them.
-    safe = jnp.where(small, 1.0, angle)
-    a = jnp.where(small, 1.0, jnp.sin(safe) / safe)
-    b = jnp.where(small, 0.5, (1.0 - jnp.cos(safe)) / (safe**2))
+    angle, small = _safe_angle(theta, eps)
+    a = jnp.where(small, 1.0, jnp.sin(angle) / angle)
+    b = jnp.where(small, 0.5, (1.0 - jnp.cos(angle)) / (angle**2))
     eye = jnp.eye(3, dtype=theta.dtype)
     return eye + a[..., None, None] * w + b[..., None, None] * w2
 
@@ -46,11 +53,9 @@ def so3_exp(theta: Array, eps: float = 1e-5) -> Array:
 def _left_jacobian(theta: Array, eps: float = 1e-5) -> Array:
     w = skew(theta)
     w2 = w @ w
-    angle = jnp.linalg.norm(theta, axis=-1)
-    small = angle < eps
-    safe = jnp.where(small, 1.0, angle)
-    b = jnp.where(small, 0.5, (1.0 - jnp.cos(safe)) / (safe**2))
-    c = jnp.where(small, 1.0 / 6.0, (safe - jnp.sin(safe)) / (safe**3))
+    angle, small = _safe_angle(theta, eps)
+    b = jnp.where(small, 0.5, (1.0 - jnp.cos(angle)) / (angle**2))
+    c = jnp.where(small, 1.0 / 6.0, (angle - jnp.sin(angle)) / (angle**3))
     eye = jnp.eye(3, dtype=theta.dtype)
     return eye + b[..., None, None] * w + c[..., None, None] * w2
 

@@ -26,6 +26,7 @@ class RasterCamera(NamedTuple):
     cam_pos: Array  # (..., 3) camera center in world space
     tan_fov: Array  # (..., 2) = (tan(fov_x/2), tan(fov_y/2))
     focal: Array  # (..., 2) focal lengths in *pixels*
+    principal: Array  # (..., 2) principal point in *pixels*
     near: Array  # (...)
     far: Array  # (...)
 
@@ -69,11 +70,15 @@ def make_raster_camera(
     focal = jnp.stack(
         [intrinsics[..., 0, 0] * w, intrinsics[..., 1, 1] * h], axis=-1
     )
+    principal = jnp.stack(
+        [intrinsics[..., 0, 2] * w, intrinsics[..., 1, 2] * h], axis=-1
+    )
     return RasterCamera(
         w2c=w2c,
         cam_pos=cam_pos,
         tan_fov=tan_fov,
         focal=focal,
+        principal=principal,
         near=jnp.asarray(near),
         far=jnp.asarray(far),
     )

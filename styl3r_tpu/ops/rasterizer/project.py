@@ -1,0 +1,175 @@
+"""EWA projection of 3D Gaussians to screen space.
+
+The per-gaussian preprocessing stage of the 3DGS rasterizer (the reference's
+external `diff-gaussian-rasterization-w-pose` CUDA kernel does this in
+`preprocessCUDA`): transform means to camera space, project the 3x3 covariance
+through the local affine (EWA) approximation of the perspective map, add the
+0.3-pixel anti-aliasing floor, invert to conic form, and bound the splat by a
+3-sigma radius. All plain jnp — XLA vectorizes this across gaussians; the
+dense part of the pipeline (tile compositing) lives in render.py / pallas.
+
+Convention: pixel (i, j) has center (x=j, y=i) — the CUDA ndc2Pix convention —
+so mean2d_x = fx_px * tx/tz + cx_px - 0.5.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import Array
+
+from .camera import RasterCamera
+
+
+class ProjectedGaussians(NamedTuple):
+    means2d: Array  # (g, 2) pixel coordinates (x, y)
+    depths: Array  # (g,) camera-space z
+    conics: Array  # (g, 3) inverse 2D covariance (a, b, c) for axᵀ+2bxy+cyᵀ
+    radii: Array  # (g,) 3-sigma screen radius in pixels (0 = culled)
+    mask: Array  # (g,) bool, survives near-plane/deterministic culling
+
+
+NEAR_CULL = 0.2  # matches the CUDA rasterizer's hardcoded near threshold
+COV_BLUR = 0.3  # low-pass floor added to the 2D covariance diagonal
+
+
+def project_gaussians(
+    camera: RasterCamera,
+    means: Array,
+    covariances: Array,
+) -> ProjectedGaussians:
+    """Project world-space gaussians into screen space for one camera.
+
+    Args:
+      camera: RasterCamera with unbatched fields (use vmap for view batches).
+      means: (g, 3) world-space centers.
+      covariances: (g, 3, 3) world-space covariances.
+    """
+    rot = camera.w2c[:3, :3]
+    trans = camera.w2c[:3, 3]
+    t = means @ rot.T + trans  # (g, 3) camera space
+    tz = t[:, 2]
+
+    fx, fy = camera.focal[0], camera.focal[1]
+    tan_x, tan_y = camera.tan_fov[0], camera.tan_fov[1]
+
+    # Clamp the camera-space x/y used for the Jacobian to 1.3x the frustum,
+    # as the CUDA preprocessing does, to keep the EWA approximation sane for
+    # off-screen gaussians.
+    safe_z = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    lim_x, lim_y = 1.3 * tan_x, 1.3 * tan_y
+    txz = jnp.clip(t[:, 0] / safe_z, -lim_x, lim_x) * safe_z
+    tyz = jnp.clip(t[:, 1] / safe_z, -lim_y, lim_y) * safe_z
+
+    inv_z = 1.0 / safe_z
+    inv_z2 = inv_z * inv_z
+    # J: local affine approximation of perspective projection (2x3 per gaussian)
+    j00 = fx * inv_z
+    j02 = -fx * txz * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * tyz * inv_z2
+    zeros = jnp.zeros_like(j00)
+    jac = jnp.stack(
+        [
+            jnp.stack([j00, zeros, j02], axis=-1),
+            jnp.stack([zeros, j11, j12], axis=-1),
+        ],
+        axis=-2,
+    )  # (g, 2, 3)
+
+    jw = jac @ rot  # (g, 2, 3)
+    cov2d = jw @ covariances @ jnp.swapaxes(jw, -1, -2)  # (g, 2, 2)
+    cov2d = cov2d + COV_BLUR * jnp.eye(2, dtype=cov2d.dtype)
+
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det = a * c - b * b
+    det_safe = jnp.where(det <= 0, 1.0, det)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+
+    # 3-sigma extent from the larger eigenvalue of cov2d.
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    lambda1 = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    # Screen-space center (pixel (i, j) has center (x=j, y=i), hence the -0.5).
+    mean_x = fx * t[:, 0] * inv_z + camera.principal[0] - 0.5
+    mean_y = fy * t[:, 1] * inv_z + camera.principal[1] - 0.5
+    means2d = jnp.stack([mean_x, mean_y], axis=-1)
+
+    valid = (tz > NEAR_CULL) & (det > 0)
+    radius = jnp.where(valid, radius, 0.0)
+    return ProjectedGaussians(
+        means2d=means2d,
+        depths=tz,
+        conics=conic,
+        radii=radius,
+        mask=valid,
+    )
+
+
+# --- Spherical harmonics -> view-dependent RGB -------------------------------
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+
+def eval_sh(harmonics: Array, directions: Array) -> Array:
+    """Evaluate SH color per gaussian: (g, 3, d_sh), (g, 3) -> (g, 3) RGB.
+
+    Matches the CUDA `computeColorFromSH`: result + 0.5, clamped at 0.
+    """
+    d_sh = harmonics.shape[-1]
+    result = SH_C0 * harmonics[..., 0]
+    if d_sh > 1:
+        x = directions[..., 0:1]
+        y = directions[..., 1:2]
+        z = directions[..., 2:3]
+        result = (
+            result
+            - SH_C1 * y * harmonics[..., 1]
+            + SH_C1 * z * harmonics[..., 2]
+            - SH_C1 * x * harmonics[..., 3]
+        )
+        if d_sh > 4:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (
+                result
+                + SH_C2[0] * xy * harmonics[..., 4]
+                + SH_C2[1] * yz * harmonics[..., 5]
+                + SH_C2[2] * (2.0 * zz - xx - yy) * harmonics[..., 6]
+                + SH_C2[3] * xz * harmonics[..., 7]
+                + SH_C2[4] * (xx - yy) * harmonics[..., 8]
+            )
+            if d_sh > 9:
+                result = (
+                    result
+                    + SH_C3[0] * y * (3.0 * xx - yy) * harmonics[..., 9]
+                    + SH_C3[1] * xy * z * harmonics[..., 10]
+                    + SH_C3[2] * y * (4.0 * zz - xx - yy) * harmonics[..., 11]
+                    + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * harmonics[..., 12]
+                    + SH_C3[4] * x * (4.0 * zz - xx - yy) * harmonics[..., 13]
+                    + SH_C3[5] * z * (xx - yy) * harmonics[..., 14]
+                    + SH_C3[6] * x * (xx - 3.0 * yy) * harmonics[..., 15]
+                )
+    return jnp.maximum(result + 0.5, 0.0)

@@ -1,0 +1,198 @@
+"""Differentiable tile-based Gaussian splatting renderer (pure JAX).
+
+TPU-native replacement for the reference's `diff-gaussian-rasterization-w-pose`
+CUDA extension (`src/model/decoder/cuda_splatting.py`). Same algorithm family
+as the CUDA tile rasterizer, reformulated for static shapes + XLA:
+
+  1. project gaussians (EWA, see project.py) — vectorized XLA;
+  2. bin: each gaussian emits up to `max_tiles_per_gaussian` (tile, depth)
+     pairs covering its 3-sigma screen bbox; one global lexicographic sort by
+     (tile, depth) replaces the CUDA radix sort; per-tile ranges come from
+     searchsorted;
+  3. composite: per 16x16 tile, scan depth-ordered gaussians in chunks and
+     alpha-composite front-to-back with a running transmittance carry. The
+     within-chunk exclusive cumprod keeps the math exact while staying fully
+     vectorized (VPU-friendly (chunk, pixels) blocks).
+
+Differentiable end-to-end via autodiff (gather -> scatter-add in the backward),
+including w.r.t. camera pose deltas, which enter through `make_raster_camera`.
+
+Static truncation knobs (the CUDA kernel is unbounded; we trade tails for
+static shapes — both default high enough to be exact on the bundled scenes):
+  * max_tiles_per_gaussian: bbox tiles beyond this are dropped row-major;
+  * max_per_tile: gaussians beyond this per tile are dropped back-to-front
+    (they are occluded by construction when transmittance has saturated).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .camera import RasterCamera
+from .project import eval_sh, project_gaussians
+
+TILE = 16
+
+
+class RenderOutput(NamedTuple):
+    color: Array  # (h, w, 3)
+    depth: Array  # (h, w) alpha-weighted expected depth
+    alpha: Array  # (h, w) accumulated opacity
+
+
+def _build_pairs(
+    means2d: Array,
+    radii: Array,
+    depths: Array,
+    mask: Array,
+    grid: Tuple[int, int],
+    max_tiles_per_gaussian: int,
+) -> Tuple[Array, Array, Array]:
+    """Emit (tile_id, depth, gaussian_idx) pairs for every tile each gaussian
+    touches. Invalid slots get tile_id = n_tiles (sorts to the end)."""
+    gy, gx = grid
+    n_tiles = gy * gx
+    g = means2d.shape[0]
+
+    x, y = means2d[:, 0], means2d[:, 1]
+    r = radii
+    tx0 = jnp.clip(jnp.floor((x - r) / TILE), 0, gx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + r) / TILE), 0, gx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - r) / TILE), 0, gy - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + r) / TILE), 0, gy - 1).astype(jnp.int32)
+    rw = tx1 - tx0 + 1
+    rh = ty1 - ty0 + 1
+    area = rw * rh
+
+    offs = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)  # (m,)
+    oy = offs[None, :] // rw[:, None]  # (g, m)
+    ox = offs[None, :] % rw[:, None]
+    tile_id = (ty0[:, None] + oy) * gx + (tx0[:, None] + ox)
+    valid = (offs[None, :] < area[:, None]) & mask[:, None] & (radii[:, None] > 0)
+    tile_id = jnp.where(valid, tile_id, n_tiles)
+
+    pair_tiles = tile_id.reshape(g * max_tiles_per_gaussian)
+    pair_depths = jnp.broadcast_to(depths[:, None], (g, max_tiles_per_gaussian)).reshape(-1)
+    pair_gidx = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_tiles_per_gaussian)
+    ).reshape(-1)
+    return pair_tiles, pair_depths, pair_gidx
+
+
+def render(
+    camera: RasterCamera,
+    means: Array,
+    covariances: Array,
+    harmonics: Array,
+    opacities: Array,
+    image_shape: Tuple[int, int],
+    background: Optional[Array] = None,
+    *,
+    max_tiles_per_gaussian: int = 32,
+    max_per_tile: int = 4096,
+    chunk: int = 64,
+) -> RenderOutput:
+    """Render one view of one scene. vmap over leading dims for batches.
+
+    Args:
+      camera: unbatched RasterCamera (from make_raster_camera).
+      means/covariances/harmonics/opacities: (g, 3), (g, 3, 3), (g, 3, d_sh), (g,).
+      image_shape: (h, w), each divisible by 16.
+      background: (3,) color, defaults to black.
+    """
+    h, w = image_shape
+    if h % TILE or w % TILE:
+        raise ValueError(f"image shape {image_shape} must be divisible by {TILE}")
+    gy, gx = h // TILE, w // TILE
+    n_tiles = gy * gx
+    dtype = means.dtype
+    if background is None:
+        background = jnp.zeros((3,), dtype)
+
+    proj = project_gaussians(camera, means, covariances)
+    dirs = means - camera.cam_pos
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    colors = eval_sh(harmonics, dirs)  # (g, 3)
+
+    pair_tiles, pair_depths, pair_gidx = _build_pairs(
+        proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx), max_tiles_per_gaussian
+    )
+    # One global lexicographic sort by (tile, depth) bins and depth-orders at once.
+    sorted_tiles, _, sorted_gidx = jax.lax.sort(
+        (pair_tiles, pair_depths, pair_gidx), num_keys=2
+    )
+    tile_ids = jnp.arange(n_tiles, dtype=sorted_tiles.dtype)
+    starts = jnp.searchsorted(sorted_tiles, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tiles, tile_ids, side="right").astype(jnp.int32)
+    counts = jnp.minimum(ends - starts, max_per_tile)
+
+    n_pairs = sorted_gidx.shape[0]
+    n_chunks = max_per_tile // chunk
+
+    # Tile-local pixel centers, shared across tiles: (p, 2) with p = TILE*TILE.
+    py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
+    local_pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1).astype(dtype)
+
+    means2d = proj.means2d
+    conics = proj.conics
+    depths = proj.depths
+
+    def composite_tile(tile_idx: Array, start: Array, count: Array) -> Tuple[Array, Array, Array]:
+        ty = tile_idx // gx
+        tx = tile_idx % gx
+        pix = local_pix + jnp.stack([tx * TILE, ty * TILE]).astype(dtype)  # (p, 2)
+
+        def step(carry, k):
+            rgb, dep, trans = carry
+            offs = k * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            in_range = offs < count
+            idx = sorted_gidx[jnp.clip(start + offs, 0, n_pairs - 1)]
+            mu = means2d[idx]  # (chunk, 2)
+            con = conics[idx]  # (chunk, 3)
+            col = colors[idx]  # (chunk, 3)
+            op = opacities[idx]  # (chunk,)
+            dpt = depths[idx]  # (chunk,)
+
+            d = pix[None, :, :] - mu[:, None, :]  # (chunk, p, 2)
+            power = (
+                -0.5 * (con[:, 0, None] * d[..., 0] ** 2 + con[:, 2, None] * d[..., 1] ** 2)
+                - con[:, 1, None] * d[..., 0] * d[..., 1]
+            )
+            alpha = jnp.minimum(op[:, None] * jnp.exp(power), 0.99)
+            alpha = jnp.where(power > 0, 0.0, alpha)
+            alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+            alpha = jnp.where(in_range[:, None], alpha, 0.0)
+
+            one_minus = 1.0 - alpha  # (chunk, p)
+            cp = jnp.cumprod(one_minus, axis=0)
+            excl = jnp.concatenate([jnp.ones_like(cp[:1]), cp[:-1]], axis=0)
+            weight = alpha * excl * trans[None, :]  # (chunk, p)
+
+            rgb = rgb + jnp.einsum("cp,cd->pd", weight, col)
+            dep = dep + jnp.sum(weight * dpt[:, None], axis=0)
+            trans = trans * cp[-1]
+            return (rgb, dep, trans), None
+
+        p = TILE * TILE
+        init = (
+            jnp.zeros((p, 3), dtype),
+            jnp.zeros((p,), dtype),
+            jnp.ones((p,), dtype),
+        )
+        (rgb, dep, trans), _ = jax.lax.scan(
+            step, init, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        rgb = rgb + trans[:, None] * background[None, :]
+        return rgb, dep, 1.0 - trans
+
+    rgb, dep, alpha = jax.vmap(composite_tile)(tile_ids, starts, counts)
+    # (n_tiles, p, ...) -> (h, w, ...)
+    color = rgb.reshape(gy, gx, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
+    depth = dep.reshape(gy, gx, TILE, TILE).transpose(0, 2, 1, 3).reshape(h, w)
+    alpha_img = alpha.reshape(gy, gx, TILE, TILE).transpose(0, 2, 1, 3).reshape(h, w)
+    return RenderOutput(color=color, depth=depth, alpha=alpha_img)

@@ -1,0 +1,265 @@
+"""Tests for the tile-based Gaussian splatting renderer.
+
+The key test compares the tiled renderer against a brute-force per-pixel
+compositor that uses the same alpha model and the same 3-sigma tile-bbox
+truncation (which the CUDA rasterizer also applies), so results must match to
+float tolerance — no golden images needed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styl3r_tpu.geometry import build_covariance
+from styl3r_tpu.ops.rasterizer import make_raster_camera, project_gaussians, render
+from styl3r_tpu.ops.rasterizer.project import eval_sh, SH_C0
+from styl3r_tpu.ops.rasterizer.render import TILE
+
+H = W = 64
+
+
+def default_camera(extrinsics=None):
+    if extrinsics is None:
+        extrinsics = jnp.eye(4)
+    intrinsics = jnp.asarray(
+        [[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]], dtype=jnp.float32
+    )
+    return make_raster_camera(
+        extrinsics, intrinsics, jnp.asarray(0.1), jnp.asarray(100.0), (H, W)
+    )
+
+
+def isotropic_gaussians(centers, sigma, colors, opacities):
+    centers = np.asarray(centers, np.float32)
+    g = centers.shape[0]
+    cov = jnp.broadcast_to(jnp.eye(3) * sigma**2, (g, 3, 3)).astype(jnp.float32)
+    sh = (jnp.asarray(colors) - 0.5)[..., None] / SH_C0  # dc-only SH -> exact color
+    return (
+        jnp.asarray(centers, jnp.float32),
+        cov,
+        sh.astype(jnp.float32),
+        jnp.asarray(opacities, jnp.float32),
+    )
+
+
+def test_projection_center_and_depth():
+    cam = default_camera()
+    means = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)
+    cov = jnp.broadcast_to(jnp.eye(3) * 1e-4, (1, 3, 3))
+    proj = project_gaussians(cam, means, cov)
+    # Center of a 64x64 image with cx=0.5: pixel coordinate 31.5
+    np.testing.assert_allclose(proj.means2d[0], [31.5, 31.5], atol=1e-4)
+    np.testing.assert_allclose(proj.depths[0], 2.0, atol=1e-6)
+    assert bool(proj.mask[0])
+
+
+def test_projection_culls_behind_camera():
+    cam = default_camera()
+    means = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, 0.1]], jnp.float32)
+    cov = jnp.broadcast_to(jnp.eye(3) * 1e-4, (2, 3, 3))
+    proj = project_gaussians(cam, means, cov)
+    assert not bool(proj.mask[0])  # behind
+    assert not bool(proj.mask[1])  # closer than 0.2 near threshold
+    assert float(proj.radii[0]) == 0.0
+
+
+def test_projection_cov2d_isotropic():
+    # An isotropic gaussian on the optical axis: cov2d = (f*sigma/z)^2 + 0.3
+    cam = default_camera()
+    sigma, z = 0.05, 2.0
+    means = jnp.asarray([[0.0, 0.0, z]], jnp.float32)
+    cov = jnp.broadcast_to(jnp.eye(3) * sigma**2, (1, 3, 3))
+    proj = project_gaussians(cam, means, cov)
+    f = 1.0 * W  # fx = 1.0 normalized * 64 px
+    expected_var = (f * sigma / z) ** 2 + 0.3
+    # conic = inverse -> a = 1/var, b = 0
+    np.testing.assert_allclose(proj.conics[0, 0], 1.0 / expected_var, rtol=1e-5)
+    np.testing.assert_allclose(proj.conics[0, 1], 0.0, atol=1e-6)
+
+
+def test_eval_sh_dc_only():
+    sh = jnp.asarray([[[1.0], [0.0], [-2.0]]], jnp.float32)  # (1, 3, 1)
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    out = eval_sh(sh, dirs)
+    np.testing.assert_allclose(out[0, 0], SH_C0 * 1.0 + 0.5, atol=1e-6)
+    np.testing.assert_allclose(out[0, 2], 0.0, atol=1e-6)  # clamped at 0
+
+
+def test_render_empty_scene_is_background():
+    cam = default_camera()
+    means, cov, sh, op = isotropic_gaussians(
+        np.zeros((1, 3)) + [[0, 0, -5]], 0.01, [[1, 0, 0]], [1.0]
+    )
+    bg = jnp.asarray([0.2, 0.4, 0.6], jnp.float32)
+    out = render(cam, means, cov, sh, op, (H, W), bg)
+    np.testing.assert_allclose(out.color, np.broadcast_to(bg, (H, W, 3)), atol=1e-6)
+    np.testing.assert_allclose(out.alpha, 0.0, atol=1e-6)
+
+
+def test_render_single_gaussian_blob():
+    cam = default_camera()
+    means, cov, sh, op = isotropic_gaussians([[0.0, 0.0, 2.0]], 0.08, [[1.0, 0.0, 0.0]], [1.0])
+    out = render(cam, means, cov, sh, op, (H, W))
+    img = np.asarray(out.color)
+    # Blob is centered: the 4 central pixels are the brightest and red.
+    assert img[31, 31, 0] > 0.9
+    assert img[31, 31, 1] < 1e-3
+    assert img[0, 0, 0] < 0.05
+    # Symmetry about the center (31.5, 31.5)
+    np.testing.assert_allclose(img[31, 31], img[32, 32], atol=1e-5)
+    np.testing.assert_allclose(img[31, 32], img[32, 31], atol=1e-5)
+    # Depth at center equals gaussian depth * alpha
+    np.testing.assert_allclose(
+        out.depth[31, 31], 2.0 * out.alpha[31, 31], rtol=1e-5
+    )
+
+
+def test_render_occlusion_order():
+    centers = [[0.0, 0.0, 2.0], [0.0, 0.0, 4.0]]
+    colors = [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]  # red in front, blue behind
+    cam = default_camera()
+    means, cov, sh, op = isotropic_gaussians(centers, 0.1, colors, [0.9, 0.9])
+    out = render(cam, means, cov, sh, op, (H, W))
+    center = np.asarray(out.color[31, 31])
+    assert center[0] > center[2] > 0  # mostly red, some blue bleeds through
+
+    # Swap the colors: now blue is in front, red behind.
+    out2 = render(cam, means, cov, sh[::-1], op, (H, W))
+    center2 = np.asarray(out2.color[31, 31])
+    assert center2[2] > center2[0] > 0
+    # The scene is symmetric under the color swap: images are channel-mirrored.
+    np.testing.assert_allclose(out.color, out2.color[..., ::-1], atol=1e-5)
+
+    # Memory order must not matter, only depth: reverse both arrays (same scene).
+    out3 = render(cam, means[::-1], cov, sh[::-1], op, (H, W))
+    np.testing.assert_allclose(out.color, out3.color, atol=1e-5)
+
+
+def brute_force_render(cam, means, cov, sh, op, image_shape, bg):
+    """Per-pixel reference compositor with the same 3-sigma tile truncation."""
+    h, w = image_shape
+    proj = project_gaussians(cam, means, cov)
+    dirs = means - cam.cam_pos
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    colors = eval_sh(sh, dirs)
+
+    p = np.asarray(proj.means2d)
+    con = np.asarray(proj.conics)
+    dep = np.asarray(proj.depths)
+    rad = np.asarray(proj.radii)
+    msk = np.asarray(proj.mask)
+    col = np.asarray(colors)
+    opn = np.asarray(op)
+
+    order = np.argsort(dep, kind="stable")
+    img = np.zeros((h, w, 3), np.float32)
+    depth = np.zeros((h, w), np.float32)
+    trans = np.ones((h, w), np.float32)
+
+    gx = w // TILE
+    gy = h // TILE
+    for gi in order:
+        if not msk[gi] or rad[gi] <= 0:
+            continue
+        tx0 = int(np.clip(np.floor((p[gi, 0] - rad[gi]) / TILE), 0, gx - 1))
+        tx1 = int(np.clip(np.floor((p[gi, 0] + rad[gi]) / TILE), 0, gx - 1))
+        ty0 = int(np.clip(np.floor((p[gi, 1] - rad[gi]) / TILE), 0, gy - 1))
+        ty1 = int(np.clip(np.floor((p[gi, 1] + rad[gi]) / TILE), 0, gy - 1))
+        ys, xs = np.mgrid[0:h, 0:w]
+        in_tiles = (
+            (xs // TILE >= tx0)
+            & (xs // TILE <= tx1)
+            & (ys // TILE >= ty0)
+            & (ys // TILE <= ty1)
+        )
+        dx = xs - p[gi, 0]
+        dy = ys - p[gi, 1]
+        power = -0.5 * (con[gi, 0] * dx**2 + con[gi, 2] * dy**2) - con[gi, 1] * dx * dy
+        alpha = np.minimum(opn[gi] * np.exp(power), 0.99)
+        alpha = np.where(power > 0, 0.0, alpha)
+        alpha = np.where(alpha < 1 / 255.0, 0.0, alpha)
+        alpha = np.where(in_tiles, alpha, 0.0)
+        weight = alpha * trans
+        img += weight[..., None] * col[gi]
+        depth += weight * dep[gi]
+        trans *= 1.0 - alpha
+    img += trans[..., None] * np.asarray(bg)
+    return img, depth, 1.0 - trans
+
+
+def test_render_matches_brute_force():
+    rng = np.random.default_rng(7)
+    g = 120
+    centers = np.stack(
+        [
+            rng.uniform(-1.5, 1.5, g),
+            rng.uniform(-1.5, 1.5, g),
+            rng.uniform(1.0, 6.0, g),
+        ],
+        axis=-1,
+    )
+    scales = rng.uniform(0.02, 0.15, (g, 3)).astype(np.float32)
+    quats = rng.normal(size=(g, 4)).astype(np.float32)
+    cov = build_covariance(jnp.asarray(scales), jnp.asarray(quats))
+    colors = rng.uniform(0, 1, (g, 3))
+    sh = jnp.asarray((colors - 0.5)[..., None] / SH_C0, jnp.float32)
+    op = jnp.asarray(rng.uniform(0.2, 1.0, g), jnp.float32)
+    means = jnp.asarray(centers, jnp.float32)
+
+    cam = default_camera()
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    out = render(cam, means, cov, sh, op, (H, W), bg, max_tiles_per_gaussian=64)
+    ref_img, ref_depth, ref_alpha = brute_force_render(
+        cam, means, cov, sh, op, (H, W), bg
+    )
+    np.testing.assert_allclose(out.color, ref_img, atol=2e-4)
+    np.testing.assert_allclose(out.depth, ref_depth, atol=2e-3)
+    np.testing.assert_allclose(out.alpha, ref_alpha, atol=2e-4)
+
+
+def test_render_gradients_flow():
+    cam_ext = jnp.eye(4)
+    intr = jnp.asarray(
+        [[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    means, cov, sh, op = isotropic_gaussians(
+        [[0.1, -0.1, 2.0], [0.3, 0.2, 3.0]], 0.1, [[1, 0, 0], [0, 1, 0]], [0.8, 0.8]
+    )
+    target = jnp.zeros((H, W, 3))
+
+    def loss(means, sh, op, rot_delta, trans_delta):
+        cam = make_raster_camera(
+            cam_ext, intr, jnp.asarray(0.1), jnp.asarray(100.0), (H, W),
+            cam_rot_delta=rot_delta, cam_trans_delta=trans_delta,
+        )
+        out = render(cam, means, cov, sh, op, (H, W))
+        return jnp.mean((out.color - target) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        means, sh, op, jnp.zeros(3), jnp.zeros(3)
+    )
+    for g, name in zip(grads, ["means", "sh", "op", "rot", "trans"]):
+        assert bool(jnp.all(jnp.isfinite(g))), name
+        assert float(jnp.abs(g).max()) > 0, name
+
+
+def test_render_pose_delta_shifts_image():
+    cam_ext = jnp.eye(4)
+    intr = jnp.asarray(
+        [[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    means, cov, sh, op = isotropic_gaussians([[0.0, 0.0, 2.0]], 0.08, [[1, 1, 1]], [1.0])
+
+    def render_with_delta(tx):
+        cam = make_raster_camera(
+            cam_ext, intr, jnp.asarray(0.1), jnp.asarray(100.0), (H, W),
+            cam_trans_delta=jnp.asarray([tx, 0.0, 0.0]),
+        )
+        return render(cam, means, cov, sh, op, (H, W)).color
+
+    base = render_with_delta(0.0)
+    # +x w2c translation moves the camera -x in world => blob moves +x in image.
+    shifted = render_with_delta(-0.125)  # camera moves +x by 0.125 => blob moves left
+    base_cx = np.argmax(np.asarray(base[31, :, 0]))
+    shifted_cx = np.argmax(np.asarray(shifted[31, :, 0]))
+    assert shifted_cx < base_cx
