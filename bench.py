@@ -1,0 +1,77 @@
+"""Benchmark: scenes/sec/chip for 2-view 256^2 stylized-3DGS predict + render.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference claims "< 1 second" per scene on one GPU
+(README.md:20), i.e. 1 scene/s -> vs_baseline = scenes_per_sec / 1.0.
+
+Run on the real TPU by default; --cpu --tiny for a quick smoke run.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--tiny", action="store_true", help="tiny trunk dims (smoke)")
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--views", type=int, default=2)
+    parser.add_argument("--size", type=int, default=256)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from styl3r_tpu.models.styl3r import Styl3rModel
+    from __graft_entry__ import _example_batch
+
+    tiny = dict(enc_depth=2, dec_depth=4, enc_dim=32, dec_dim=16, enc_heads=2, dec_heads=2)
+    model = Styl3rModel(
+        sh_degree=0,
+        backbone_dtype=jnp.bfloat16,
+        **(tiny if args.tiny else {}),
+    )
+    h = w = args.size if not args.tiny else 64
+    rng = np.random.default_rng(0)
+    batch = _example_batch(rng, b=1, v=args.views, h=h, w=w, t=1, style_hw=h)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+
+    @jax.jit
+    def predict_and_render(params, batch):
+        _, output = model.forward(params, batch, (h, w))
+        return output.color
+
+    # Compile + warmup.
+    out = jax.block_until_ready(predict_and_render(params, batch))
+    assert bool(jnp.isfinite(out).all()), "non-finite render"
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(predict_and_render(params, batch))
+        times.append(time.perf_counter() - t0)
+    per_scene = float(np.median(times))
+    scenes_per_sec = 1.0 / per_scene
+
+    print(
+        json.dumps(
+            {
+                "metric": f"scenes/sec/chip ({args.views}-view {h}x{w} predict+render)",
+                "value": round(scenes_per_sec, 4),
+                "unit": "scenes/s",
+                "vs_baseline": round(scenes_per_sec / 1.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

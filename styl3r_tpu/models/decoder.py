@@ -1,0 +1,94 @@
+"""Splatting decoder: Gaussians + target cameras -> rendered images.
+
+Equivalent of `DecoderSplattingCUDA` + `render_cuda`
+(`src/model/decoder/decoder_splatting_cuda.py:37-68`,
+`src/model/decoder/cuda_splatting.py:46-133`), but fully batched: the
+reference loops Python-side per (batch*view); here the whole render is
+vmapped over (b, v) inside one jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..geometry.gaussians import Gaussians
+from ..ops.rasterizer import make_raster_camera, render
+
+
+class DecoderOutput(NamedTuple):
+    color: Array  # (b, v, h, w, 3)
+    depth: Array  # (b, v, h, w)
+    alpha: Array  # (b, v, h, w)
+
+
+def render_gaussians(
+    gaussians: Gaussians,
+    extrinsics: Array,
+    intrinsics: Array,
+    near: Array,
+    far: Array,
+    image_shape: Tuple[int, int],
+    background_color: Optional[Array] = None,
+    scale_invariant: bool = False,
+    cam_rot_delta: Optional[Array] = None,
+    cam_trans_delta: Optional[Array] = None,
+    *,
+    max_tiles_per_gaussian: int = 32,
+    max_per_tile: int = 4096,
+    chunk: int = 64,
+) -> DecoderOutput:
+    """Render each scene's Gaussians into its (b, v) target cameras.
+
+    Args:
+      gaussians: batched (b, g, ...) Gaussians.
+      extrinsics: (b, v, 4, 4) c2w; intrinsics: (b, v, 3, 3) normalized.
+      near/far: (b, v).
+      scale_invariant: rescale the scene by 1/near per view before rendering
+        (cuda_splatting.py:64-72) to avoid numerical issues with tiny nears.
+    """
+    b, v = extrinsics.shape[:2]
+    h, w = image_shape
+    if background_color is None:
+        background_color = jnp.zeros((3,), jnp.float32)
+    background_color = jnp.broadcast_to(background_color, (b, v, 3))
+
+    means = gaussians.means
+    covs = gaussians.covariances
+    shs = gaussians.harmonics
+    opas = gaussians.opacities
+
+    if cam_rot_delta is None:
+        cam_rot_delta = jnp.zeros((b, v, 3), extrinsics.dtype)
+    if cam_trans_delta is None:
+        cam_trans_delta = jnp.zeros((b, v, 3), extrinsics.dtype)
+
+    def render_one(ext, intr, nr, fr, bg, rot_d, trans_d, mns, cvs, sh, op):
+        if scale_invariant:
+            scale = 1.0 / nr
+            ext = ext.at[:3, 3].multiply(scale)
+            mns = mns * scale
+            cvs = cvs * scale**2
+            nr = nr * scale
+            fr = fr * scale
+        cam = make_raster_camera(
+            ext, intr, nr, fr, image_shape, cam_rot_delta=rot_d, cam_trans_delta=trans_d
+        )
+        return render(
+            cam, mns, cvs, sh, op, image_shape, bg,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            max_per_tile=max_per_tile,
+            chunk=chunk,
+        )
+
+    # vmap over views (gaussians shared), then over batch.
+    per_view = jax.vmap(render_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None))
+    per_batch = jax.vmap(per_view, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    out = per_batch(
+        extrinsics, intrinsics, near, far, background_color,
+        cam_rot_delta, cam_trans_delta, means, covs, shs, opas,
+    )
+    return DecoderOutput(color=out.color, depth=out.depth, alpha=out.alpha)

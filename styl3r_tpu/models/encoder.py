@@ -1,0 +1,164 @@
+"""The production encoder: unposed context images + style image -> 3D Gaussians.
+
+Equivalent of `EncoderNoPoSplatMultiTokenStyle`
+(`src/model/encoder/encoder_noposplat_multi_token_style.py:46-263`), assembled
+as one Flax module so the whole path (backbone -> stylizer -> heads ->
+adapter) is a single jitted graph.
+
+TPU-first deviations from the reference:
+  * per-view Python loops with separate head calls for view 0 vs views 1..V-1
+    become two batched head applications (the reference's `head1`/`head2` and
+    `gaussian_param_head`/`gaussian_param_head2` are distinct weights — kept —
+    but each is applied to its views folded into the batch dim);
+  * the `.cpu().tolist()` device syncs on shapes are gone (shapes are static);
+  * heads run in float32 regardless of trunk compute dtype (the reference
+    wraps heads in autocast(enabled=False)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+from ..geometry.gaussians import Gaussians
+from .adapter import (
+    d_sh,
+    map_pdf_to_opacity,
+    raw_gaussian_channels,
+    unified_gaussian_adapter,
+)
+from .croco import MultiViewCrocoBackbone, TokenStylizer
+from .dpt import DPTGSHead, DPTGSSHHead, DPTPts3dHead
+
+Dtype = Any
+
+
+class Styl3rEncoder(nn.Module):
+    """Dual-branch feed-forward stylized-3DGS encoder.
+
+    Structure branch: multiview CroCo backbone -> per-view pts3d heads
+    (head1 for view 0, head2 for the rest) + dpt_gs heads (opacity/scale/rot).
+    Appearance branch: token stylizer -> dpt_gs_sh head (3*d_sh SH channels).
+    The two channel groups concat into the unified Gaussian adapter.
+    """
+
+    sh_degree: int = 0
+    patch_size: int = 16
+    opacity_initial: float = 0.0
+    opacity_final: float = 0.0
+    opacity_warm_up: int = 1
+    backbone_dtype: Dtype = jnp.float32
+    # Trunk dims (ViT-L defaults; overridable for small-scale tests).
+    enc_depth: int = 24
+    dec_depth: int = 12
+    enc_dim: int = 1024
+    dec_dim: int = 768
+    enc_heads: int = 16
+    dec_heads: int = 12
+    head_feature_dim: int = 256
+    head_last_dim: int = 128
+    head_layer_dims: tuple = (96, 192, 384, 768)
+
+    def setup(self):
+        dims = dict(
+            enc_depth=self.enc_depth,
+            dec_depth=self.dec_depth,
+            enc_dim=self.enc_dim,
+            dec_dim=self.dec_dim,
+            enc_heads=self.enc_heads,
+            dec_heads=self.dec_heads,
+        )
+        self.backbone = MultiViewCrocoBackbone(
+            patch_size=self.patch_size, dtype=self.backbone_dtype, **dims
+        )
+        self.token_stylizer = TokenStylizer(
+            patch_size=self.patch_size, dtype=self.backbone_dtype, **dims
+        )
+        # DPT hook pattern [0, l/2, 3l/4, l] over the (dec_depth+1)-level pyramid
+        # (heads/dpt_gs_head.py:201) -> [0, 6, 9, 12] at dec_depth=12.
+        l2 = self.dec_depth
+        hooks = (0, l2 * 2 // 4, l2 * 3 // 4, l2)
+        # Heads always run f32 (reference: autocast disabled around heads).
+        head_dims = dict(
+            patch_size=self.patch_size,
+            hooks=hooks,
+            feature_dim=self.head_feature_dim,
+            layer_dims=self.head_layer_dims,
+        )
+        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
+        self.head2 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
+        structure_channels = 1 + raw_gaussian_channels(self.sh_degree) - 3 * d_sh(self.sh_degree)
+        self.gaussian_param_head = DPTGSHead(out_channels=structure_channels, **head_dims)
+        self.gaussian_param_head2 = DPTGSHead(out_channels=structure_channels, **head_dims)
+        self.gaussian_appearance_head = DPTGSSHHead(
+            out_channels=3 * d_sh(self.sh_degree), **head_dims
+        )
+
+    def __call__(
+        self,
+        context_images: Array,
+        context_intrinsics: Array,
+        style_image: Array,
+        global_step: Array | int = 0,
+        deterministic: bool = True,
+        return_aux: bool = False,
+    ) -> Gaussians | Tuple[Gaussians, Dict[str, Array]]:
+        """Args:
+          context_images: (b, v, h, w, 3) in [-1, 1].
+          context_intrinsics: (b, v, 3, 3) normalized.
+          style_image: (b, hs, ws, 3) in [-1, 1].
+        Returns Gaussians with g = v*h*w per batch element (+ aux dict with
+        per-view pts3d/depths when return_aux).
+        """
+        b, v, h, w, _ = context_images.shape
+
+        enc_feat, enc_pos, dec_feat = self.backbone(context_images, context_intrinsics)
+        sty_feat = self.token_stylizer(style_image, enc_feat, enc_pos)
+
+        # Fold views into batch per head. View 0 -> head1, views 1.. -> head2.
+        f32 = jnp.float32
+        dec0 = [t[:, 0].astype(f32) for t in dec_feat]
+        decr = [t[:, 1:].reshape(b * (v - 1), *t.shape[2:]).astype(f32) for t in dec_feat]
+
+        pts0 = self.head1(dec0, (h, w))  # (b, h, w, 3)
+        ptsr = self.head2(decr, (h, w)).reshape(b, v - 1, h, w, 3)
+        pts_all = jnp.concatenate([pts0[:, None], ptsr], axis=1)  # (b, v, h, w, 3)
+
+        imgs = context_images.astype(f32)
+        gs0 = self.gaussian_param_head(dec0, imgs[:, 0], (h, w), deterministic)
+        gsr = self.gaussian_param_head2(
+            decr, imgs[:, 1:].reshape(b * (v - 1), h, w, 3), (h, w), deterministic
+        )
+        gs_struct = jnp.concatenate(
+            [gs0[:, None], gsr.reshape(b, v - 1, h, w, -1)], axis=1
+        )  # (b, v, h, w, 1+7)
+
+        sty_flat = [t.reshape(b * v, *t.shape[2:]).astype(f32) for t in sty_feat]
+        gs_appear = self.gaussian_appearance_head(sty_flat, (h, w), deterministic)
+        gs_appear = gs_appear.reshape(b, v, h, w, -1)  # (b, v, h, w, 3*d_sh)
+
+        raw = jnp.concatenate([gs_struct, gs_appear], axis=-1)
+        densities = nn.sigmoid(raw[..., 0])
+        opacities = map_pdf_to_opacity(
+            densities, global_step, self.opacity_initial, self.opacity_final,
+            self.opacity_warm_up,
+        )
+
+        gaussians = unified_gaussian_adapter(
+            means=pts_all.reshape(b, v * h * w, 3),
+            opacities=opacities.reshape(b, v * h * w),
+            raw=raw[..., 1:].reshape(b, v * h * w, -1),
+            sh_degree=self.sh_degree,
+        )
+        if return_aux:
+            aux = {
+                "pts3d": pts_all,  # (b, v, h, w, 3)
+                "depths": pts_all[..., 2],
+                "densities": densities,
+            }
+            return gaussians, aux
+        return gaussians

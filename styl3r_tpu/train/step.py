@@ -1,0 +1,121 @@
+"""Training state + jitted data-parallel train step.
+
+Replaces the reference's Lightning/DDP runtime (`src/model/model_wrapper_style.py`
+training_step + configure_optimizers): one functional step — forward (encoder
+-> render), loss, grad, AdamW update — jitted over a `data` mesh; XLA inserts
+the gradient all-reduce over ICI.
+
+Optimizer schedule parity (model_wrapper_style.py:898-916): AdamW with
+weight-decay 0.05, betas (0.9, 0.95), linear warmup then cosine decay to
+0.1 * lr, gradient clipping 0.5 (trainer config).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import Array
+
+from ..models.styl3r import Batch, Styl3rModel
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+def make_schedule(
+    lr: float, warmup_steps: int, total_steps: int, final_scale: float = 0.1
+) -> optax.Schedule:
+    """Linear warmup -> cosine decay to final_scale * lr."""
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, lr, warmup_steps),
+            optax.cosine_decay_schedule(lr, max(total_steps - warmup_steps, 1), final_scale),
+        ],
+        [warmup_steps],
+    )
+
+
+def make_optimizer(
+    lr: float = 2e-4,
+    warmup_steps: int = 125,
+    total_steps: int = 15_000,
+    weight_decay: float = 0.05,
+    grad_clip: float = 0.5,
+    trainable_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(
+            make_schedule(lr, warmup_steps, total_steps),
+            b1=0.9,
+            b2=0.95,
+            weight_decay=weight_decay,
+        ),
+    )
+    if trainable_mask is not None:
+        # Freeze masked-out params (the stage-2 style training freezes
+        # everything except the stylizer decoder + appearance head;
+        # model_wrapper_style.py:843-916).
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask),
+        )
+    return tx
+
+
+def create_train_state(
+    model: Styl3rModel,
+    rng: Array,
+    batch: Batch,
+    tx: optax.GradientTransformation,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = model.init(rng, batch)
+    opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(
+    model: Styl3rModel,
+    tx: optax.GradientTransformation,
+    image_shape: Tuple[int, int],
+    loss_fn: Optional[Callable] = None,
+    **render_kwargs,
+):
+    """Build the jittable train step. `loss_fn(output, batch, gaussians)` maps
+    the decoder output to (scalar, metrics dict); defaults to plain MSE."""
+
+    if loss_fn is None:
+
+        def loss_fn(output, batch, gaussians):
+            mse = jnp.mean((output.color - batch.target_images) ** 2)
+            return mse, {"mse": mse}
+
+    def train_step(state: TrainState, batch, rng: Array):
+        def compute_loss(params):
+            gaussians, output = model.forward(
+                params,
+                batch,
+                image_shape,
+                global_step=state.step,
+                deterministic=False,
+                rngs={"dropout": rng},
+                **render_kwargs,
+            )
+            return loss_fn(output, batch, gaussians)
+
+        (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step

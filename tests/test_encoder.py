@@ -1,0 +1,136 @@
+"""End-to-end smoke/shape/gradient tests for the full encoder and model at
+tiny trunk dims (the math is dim-independent; full dims are exercised by the
+checkpoint-conversion tests and benchmarks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from styl3r_tpu.models.adapter import (
+    map_pdf_to_opacity,
+    raw_gaussian_channels,
+    sh_degree_mask,
+    unified_gaussian_adapter,
+)
+from styl3r_tpu.models.encoder import Styl3rEncoder
+from styl3r_tpu.models.styl3r import Batch, Styl3rModel
+
+TINY = dict(
+    enc_depth=2, dec_depth=4, enc_dim=32, dec_dim=16, enc_heads=2, dec_heads=2
+)
+B, V, H, W = 1, 2, 32, 32
+
+
+def tiny_batch(rng, t=2):
+    k = np.asarray([[0.9, 0, 0.5], [0, 0.9, 0.5], [0, 0, 1.0]], np.float32)
+    ext = np.broadcast_to(np.eye(4, dtype=np.float32), (B, t, 4, 4)).copy()
+    ext[:, 1:, 0, 3] = 0.1
+    return Batch(
+        context_images=jnp.asarray(rng.uniform(0, 1, (B, V, H, W, 3)), jnp.float32),
+        context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (B, V, 3, 3)),
+        target_extrinsics=jnp.asarray(ext),
+        target_intrinsics=jnp.broadcast_to(jnp.asarray(k), (B, t, 3, 3)),
+        target_near=jnp.full((B, t), 0.1),
+        target_far=jnp.full((B, t), 100.0),
+        style_image=jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32),
+    )
+
+
+def test_sh_degree_mask():
+    mask = sh_degree_mask(2)
+    np.testing.assert_allclose(mask[:1], [1.0])
+    np.testing.assert_allclose(mask[1:4], [0.025] * 3)
+    np.testing.assert_allclose(mask[4:9], [0.1 * 0.0625] * 5)
+
+
+def test_map_pdf_to_opacity_identity_at_release_config():
+    pdf = jnp.asarray([0.0, 0.3, 1.0])
+    np.testing.assert_allclose(map_pdf_to_opacity(pdf, 0), pdf, atol=1e-6)
+    np.testing.assert_allclose(map_pdf_to_opacity(pdf, 10_000), pdf, atol=1e-6)
+
+
+def test_unified_adapter_properties():
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.normal(size=(10, raw_gaussian_channels(0))), jnp.float32)
+    g = unified_gaussian_adapter(
+        means=jnp.zeros((10, 3)), opacities=jnp.full((10,), 0.7), raw=raw, sh_degree=0
+    )
+    assert g.harmonics.shape == (10, 3, 1)
+    assert float(g.scales.max()) <= 0.3
+    assert float(g.scales.min()) > 0.0
+    np.testing.assert_allclose(
+        jnp.linalg.norm(g.rotations, axis=-1), np.ones(10), atol=1e-5
+    )
+    # covariance eigenvalues = scales^2
+    eig = np.sort(np.linalg.eigvalsh(np.asarray(g.covariances)), axis=-1)
+    np.testing.assert_allclose(eig, np.sort(np.asarray(g.scales) ** 2, -1), rtol=1e-3)
+
+
+def test_encoder_shapes_and_determinism():
+    rng = np.random.default_rng(1)
+    batch = tiny_batch(rng)
+    enc = Styl3rEncoder(sh_degree=0, **TINY)
+    imgs = batch.context_images * 2 - 1
+    style = batch.style_image * 2 - 1
+    params = enc.init(jax.random.key(0), imgs, batch.context_intrinsics, style)
+    g, aux = enc.apply(
+        params, imgs, batch.context_intrinsics, style, return_aux=True
+    )
+    n = V * H * W
+    assert g.means.shape == (B, n, 3)
+    assert g.covariances.shape == (B, n, 3, 3)
+    assert g.harmonics.shape == (B, n, 3, 1)
+    assert g.opacities.shape == (B, n)
+    assert aux["pts3d"].shape == (B, V, H, W, 3)
+    assert bool(jnp.isfinite(g.means).all())
+    assert float(g.opacities.min()) >= 0.0 and float(g.opacities.max()) <= 1.0
+    # Deterministic apply is reproducible.
+    g2 = enc.apply(params, imgs, batch.context_intrinsics, style)
+    np.testing.assert_allclose(g.means, g2.means, atol=0)
+
+
+def test_model_forward_renders():
+    rng = np.random.default_rng(2)
+    model = Styl3rModel(sh_degree=0, **TINY)
+    batch = tiny_batch(rng)
+    params = model.init(jax.random.key(0), batch)
+    gaussians, out = model.forward(
+        params, batch, (H, W), max_per_tile=512, max_tiles_per_gaussian=8
+    )
+    assert out.color.shape == (B, 2, H, W, 3)
+    assert out.depth.shape == (B, 2, H, W)
+    assert bool(jnp.isfinite(out.color).all())
+
+
+def test_model_gradient_flows_to_params():
+    rng = np.random.default_rng(3)
+    model = Styl3rModel(sh_degree=0, **TINY)
+    batch = tiny_batch(rng)
+    params = model.init(jax.random.key(0), batch)
+    target = jnp.zeros((B, 2, H, W, 3))
+
+    def loss_fn(p):
+        _, out = model.forward(
+            p, batch, (H, W), max_per_tile=256, max_tiles_per_gaussian=8
+        )
+        return jnp.mean((out.color - target) ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    finite = all(bool(jnp.isfinite(g).all()) for _, g in flat)
+    assert finite
+    # Both branches receive gradient: the stylizer (appearance) and the
+    # backbone (structure).
+    total = {
+        "backbone": 0.0,
+        "token_stylizer": 0.0,
+        "gaussian_appearance_head": 0.0,
+        "head1": 0.0,
+    }
+    for path, g in flat:
+        key = path[1].key if hasattr(path[1], "key") else str(path[1])
+        if key in total:
+            total[key] += float(jnp.abs(g).sum())
+    for name, s in total.items():
+        assert s > 0, f"no gradient reached {name}"
