@@ -15,7 +15,7 @@ from .shims import (
     rescale,
     rescale_and_crop,
 )
-from .dataset import RE10kStyleDataset, DatasetConfig, collate_examples
+from .dataset import RE10kStyleDataset, DatasetConfig, collate_examples, batch_iterator
 
 __all__ = [
     "Example",
@@ -39,4 +39,5 @@ __all__ = [
     "RE10kStyleDataset",
     "DatasetConfig",
     "collate_examples",
+    "batch_iterator",
 ]
