@@ -40,6 +40,7 @@ def render_gaussians(
     max_tiles_per_gaussian: int = 32,
     max_per_tile: int = 4096,
     chunk: int = 64,
+    impl: str = "jnp",
 ) -> DecoderOutput:
     """Render each scene's Gaussians into its (b, v) target cameras.
 
@@ -82,6 +83,7 @@ def render_gaussians(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             max_per_tile=max_per_tile,
             chunk=chunk,
+            impl=impl,
         )
 
     # vmap over views (gaussians shared), then over batch.

@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for the per-tile alpha-compositing stage.
+
+The rasterizer pipeline keeps projection/binning/sorting in XLA (bandwidth-
+trivial, fully vectorized) and hands the dense sequential stage — front-to-
+back alpha compositing per 16x16 pixel tile — to this kernel.
+
+Layout (driven by TPU DMA constraints: manual HBM->VMEM copies want windows of
+exactly 128 lanes):
+  * pair attributes are packed attribute-major as (16, n_pairs_pad) f32 rows
+    [mean_x, mean_y, conic_a, conic_b, conic_c, opacity, r, g, b, depth, pad];
+  * each grid step (one 16x16 tile) walks its sorted pair range in 128-wide
+    lane windows aligned to 128 (window start rounded down; out-of-range lanes
+    masked), double-buffering the (16, 128) attr DMAs;
+  * compute block: pixels on sublanes (256) x gaussians on lanes (128);
+    alpha evaluated for the whole block on the VPU, the within-window
+    exclusive transmittance product computed with a 7-round lane-roll
+    multiply scan, then weights reduced over lanes into per-pixel rgb/depth;
+  * a while-loop exits early once every pixel's transmittance < 1e-4 (the
+    CUDA kernel's per-pixel early-out, here per tile).
+
+Forward only: the backward pass runs through the pure-JAX path's VJP (see
+render.py); a dedicated backward kernel is a later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 16
+P = TILE * TILE  # 256 pixels per tile
+ATTR_H = 16  # padded attribute rows
+WINDOW = 128  # gaussians per DMA window (= f32 lane tile)
+
+# attrs row layout
+A_MX, A_MY, A_CA, A_CB, A_CC, A_OP, A_R, A_G, A_B, A_D = range(10)
+
+
+def pack_attrs(
+    means2d: Array, conics: Array, opacities: Array, colors: Array, depths: Array,
+    sorted_gidx: Array,
+) -> Array:
+    """Gather per-pair attributes in sorted order, attribute-major:
+    (16, n_pairs padded to a multiple of 128)."""
+    rows = jnp.stack(
+        [
+            means2d[:, 0], means2d[:, 1],
+            conics[:, 0], conics[:, 1], conics[:, 2],
+            opacities,
+            colors[:, 0], colors[:, 1], colors[:, 2],
+            depths,
+        ],
+        axis=0,
+    )  # (10, g)
+    attrs = rows[:, sorted_gidx]  # (10, n_pairs)
+    n = attrs.shape[1]
+    pad_n = (-n) % WINDOW
+    attrs = jnp.pad(attrs, ((0, ATTR_H - attrs.shape[0]), (0, pad_n)))
+    return attrs
+
+
+def _composite_kernel(
+    starts_ref,  # SMEM (n_tiles,) int32  (scalar prefetch)
+    counts_ref,  # SMEM (n_tiles,) int32  (scalar prefetch)
+    attrs_ref,  # ANY/HBM (16, n_pairs_pad) f32
+    bg_ref,  # SMEM (3,) f32
+    out_ref,  # VMEM block (1, P, 8) f32: cols r,g,b,depth,alpha,pad
+    scratch,  # VMEM (2, 16, WINDOW)
+    sems,  # DMA semaphores (2,)
+    *,
+    grid_x: int,
+    max_windows: int,
+    n_pairs: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    end = start + count
+    base = (start // WINDOW) * WINDOW
+    n_windows = jnp.minimum(pl.cdiv(end - base, WINDOW), max_windows)
+
+    ty = t // grid_x
+    tx = t % grid_x
+    # Pixel centers: pixels on sublanes -> (P, 1) columns.
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, WINDOW), 0)
+    px = (tx * TILE + pix % TILE).astype(jnp.float32)
+    py = (ty * TILE + pix // TILE).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, WINDOW), 1)
+
+    def start_dma(slot, w):
+        offset = jnp.minimum(base + w * WINDOW, n_pairs - WINDOW)
+        offset = pl.multiple_of(offset, WINDOW)
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(offset, WINDOW)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_windows > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def body(state):
+        w, rgb_r, rgb_g, rgb_b, dep, trans = state
+        slot = jax.lax.rem(w, 2)
+
+        @pl.when(w + 1 < n_windows)
+        def _():
+            start_dma(jax.lax.rem(w + 1, 2), w + 1).start()
+
+        start_dma(slot, w).wait()
+        a = scratch[slot]  # (16, WINDOW); row broadcasts over pixel sublanes
+
+        dx = px - a[A_MX : A_MX + 1, :]
+        dy = py - a[A_MY : A_MY + 1, :]
+        power = (
+            -0.5 * (a[A_CA : A_CA + 1, :] * dx * dx + a[A_CC : A_CC + 1, :] * dy * dy)
+            - a[A_CB : A_CB + 1, :] * dx * dy
+        )
+        alpha = jnp.minimum(a[A_OP : A_OP + 1, :] * jnp.exp(power), 0.99)
+        alpha = jnp.where(power > 0.0, 0.0, alpha)
+        alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+        gidx = base + w * WINDOW + lane
+        in_range = jnp.logical_and(gidx >= start, gidx < end)
+        alpha = jnp.where(in_range, alpha, 0.0)
+
+        # Inclusive product scan of (1 - alpha) along the lane (gaussian)
+        # axis: log2(WINDOW) roll-multiply rounds.
+        m = 1.0 - alpha
+        inc = m
+        shift = 1
+        while shift < WINDOW:
+            rolled = pltpu.roll(inc, shift, 1)
+            inc = inc * jnp.where(lane >= shift, rolled, 1.0)
+            shift *= 2
+        excl = jnp.where(lane >= 1, pltpu.roll(inc, 1, 1), 1.0)
+
+        weight = alpha * excl * trans  # trans (P, 1) broadcasts over lanes
+        rgb_r = rgb_r + jnp.sum(weight * a[A_R : A_R + 1, :], axis=1, keepdims=True)
+        rgb_g = rgb_g + jnp.sum(weight * a[A_G : A_G + 1, :], axis=1, keepdims=True)
+        rgb_b = rgb_b + jnp.sum(weight * a[A_B : A_B + 1, :], axis=1, keepdims=True)
+        dep = dep + jnp.sum(weight * a[A_D : A_D + 1, :], axis=1, keepdims=True)
+        trans = trans * inc[:, WINDOW - 1 :]
+        return w + 1, rgb_r, rgb_g, rgb_b, dep, trans
+
+    def cond(state):
+        w, _, _, _, _, trans = state
+        return jnp.logical_and(w < n_windows, jnp.max(trans) > 1e-4)
+
+    zeros = jnp.zeros((P, 1), jnp.float32)
+    init = (jnp.int32(0), zeros, zeros, zeros, zeros, jnp.ones((P, 1), jnp.float32))
+    _, rgb_r, rgb_g, rgb_b, dep, trans = jax.lax.while_loop(cond, body, init)
+
+    out_ref[0, :, 0] = (rgb_r + trans * bg_ref[0])[:, 0]
+    out_ref[0, :, 1] = (rgb_g + trans * bg_ref[1])[:, 0]
+    out_ref[0, :, 2] = (rgb_b + trans * bg_ref[2])[:, 0]
+    out_ref[0, :, 3] = dep[:, 0]
+    out_ref[0, :, 4] = 1.0 - trans[:, 0]
+    out_ref[0, :, 5] = jnp.zeros((P,), jnp.float32)
+    out_ref[0, :, 6] = jnp.zeros((P,), jnp.float32)
+    out_ref[0, :, 7] = jnp.zeros((P,), jnp.float32)
+
+
+def composite_tiles_pallas(
+    attrs: Array,
+    starts: Array,
+    counts: Array,
+    background: Array,
+    grid: Tuple[int, int],
+    max_per_tile: int = 4096,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Run the compositing kernel.
+
+    Args:
+      attrs: (16, n_pairs_pad) packed sorted attributes (pack_attrs).
+      starts/counts: (n_tiles,) int32 per-tile ranges into the pair order.
+      background: (3,) f32.
+      grid: (gy, gx) tile grid.
+    Returns (color (n_tiles, P, 3), depth (n_tiles, P), alpha (n_tiles, P)).
+    """
+    gy, gx = grid
+    n_tiles = gy * gx
+    n_pairs = attrs.shape[1]
+    max_windows = int(pl.cdiv(max_per_tile, WINDOW)) + 1  # +1 for alignment slack
+
+    kernel = functools.partial(
+        _composite_kernel,
+        grid_x=gx,
+        max_windows=max_windows,
+        n_pairs=n_pairs,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # attrs stay in HBM
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # background
+        ],
+        out_specs=pl.BlockSpec(
+            (1, P, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_H, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, 8), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        starts.astype(jnp.int32),
+        counts.astype(jnp.int32),
+        attrs,
+        background.astype(jnp.float32),
+    )
+    color = out[:, :, 0:3]
+    depth = out[:, :, 3]
+    alpha = out[:, :, 4]
+    return color, depth, alpha

@@ -96,6 +96,7 @@ def render(
     max_tiles_per_gaussian: int = 32,
     max_per_tile: int = 4096,
     chunk: int = 64,
+    impl: str = "jnp",
 ) -> RenderOutput:
     """Render one view of one scene. vmap over leading dims for batches.
 
@@ -104,6 +105,9 @@ def render(
       means/covariances/harmonics/opacities: (g, 3), (g, 3, 3), (g, 3, d_sh), (g,).
       image_shape: (h, w), each divisible by 16.
       background: (3,) color, defaults to black.
+      impl: 'jnp' (pure XLA, autodiff-native) | 'pallas' (TPU kernel forward,
+        jnp-VJP backward) | 'pallas_interpret' (kernel in interpreter mode,
+        for CPU tests).
     """
     h, w = image_shape
     if h % TILE or w % TILE:
@@ -130,6 +134,25 @@ def render(
     starts = jnp.searchsorted(sorted_tiles, tile_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tiles, tile_ids, side="right").astype(jnp.int32)
     counts = jnp.minimum(ends - starts, max_per_tile)
+
+    if impl in ("pallas", "pallas_interpret"):
+        from .pallas_kernel import composite_tiles_pallas, pack_attrs
+
+        attrs = pack_attrs(
+            proj.means2d, proj.conics, opacities.astype(jnp.float32), colors,
+            proj.depths, sorted_gidx,
+        )
+        rgb, dep, alpha = composite_tiles_pallas(
+            attrs, starts, counts, background, (gy, gx),
+            max_per_tile=max_per_tile,
+            interpret=(impl == "pallas_interpret"),
+        )
+        color = (
+            rgb.reshape(gy, gx, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
+        )
+        depth = dep.reshape(gy, gx, TILE, TILE).transpose(0, 2, 1, 3).reshape(h, w)
+        alpha_img = alpha.reshape(gy, gx, TILE, TILE).transpose(0, 2, 1, 3).reshape(h, w)
+        return RenderOutput(color=color, depth=depth, alpha=alpha_img)
 
     n_pairs = sorted_gidx.shape[0]
     n_chunks = max_per_tile // chunk
