@@ -123,7 +123,9 @@ def _composite_kernel(
             -0.5 * (a[A_CA : A_CA + 1, :] * dx * dx + a[A_CC : A_CC + 1, :] * dy * dy)
             - a[A_CB : A_CB + 1, :] * dx * dy
         )
-        alpha = jnp.minimum(a[A_OP : A_OP + 1, :] * jnp.exp(power), 0.99)
+        alpha = jnp.minimum(
+            a[A_OP : A_OP + 1, :] * jnp.exp(jnp.minimum(power, 0.0)), 0.99
+        )
         alpha = jnp.where(power > 0.0, 0.0, alpha)
         alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
         gidx = base + w * WINDOW + lane

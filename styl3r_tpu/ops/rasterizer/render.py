@@ -186,7 +186,10 @@ def render(
                 -0.5 * (con[:, 0, None] * d[..., 0] ** 2 + con[:, 2, None] * d[..., 1] ** 2)
                 - con[:, 1, None] * d[..., 0] * d[..., 1]
             )
-            alpha = jnp.minimum(op[:, None] * jnp.exp(power), 0.99)
+            # Clamp before exp: positive powers are masked below, but exp of a
+            # large positive value is inf and poisons gradients through the
+            # where (0 * inf = NaN in the backward pass).
+            alpha = jnp.minimum(op[:, None] * jnp.exp(jnp.minimum(power, 0.0)), 0.99)
             alpha = jnp.where(power > 0, 0.0, alpha)
             alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
             alpha = jnp.where(in_range[:, None], alpha, 0.0)

@@ -86,18 +86,29 @@ def make_train_step(
     tx: optax.GradientTransformation,
     image_shape: Tuple[int, int],
     loss_fn: Optional[Callable] = None,
+    stylized: bool = True,
+    identity_branch: bool = False,
     **render_kwargs,
 ):
-    """Build the jittable train step. `loss_fn(output, batch, gaussians)` maps
-    the decoder output to (scalar, metrics dict); defaults to plain MSE."""
+    """Build the jittable train step.
+
+    `loss_fn(output, batch, gaussians, global_step, identity_output)` maps the
+    decoder output to (scalar, metrics dict); defaults to plain MSE.
+    stylized=False (stage-1 NVS pretraining) replaces the style image with
+    context view 0 (model_wrapper_style.py:149-155); identity_branch adds a
+    second forward with style := context view 0 (:216-231).
+    """
 
     if loss_fn is None:
 
-        def loss_fn(output, batch, gaussians):
+        def loss_fn(output, batch, gaussians, global_step=0, identity_output=None):
             mse = jnp.mean((output.color - batch.target_images) ** 2)
             return mse, {"mse": mse}
 
     def train_step(state: TrainState, batch, rng: Array):
+        if not stylized:
+            batch = batch._replace(style_image=batch.context_images[:, 0])
+
         def compute_loss(params):
             gaussians, output = model.forward(
                 params,
@@ -108,7 +119,22 @@ def make_train_step(
                 rngs={"dropout": rng},
                 **render_kwargs,
             )
-            return loss_fn(output, batch, gaussians)
+            identity_output = None
+            if identity_branch:
+                id_batch = batch._replace(style_image=batch.context_images[:, 0])
+                _, identity_output = model.forward(
+                    params,
+                    id_batch,
+                    image_shape,
+                    global_step=state.step,
+                    deterministic=False,
+                    rngs={"dropout": rng},
+                    **render_kwargs,
+                )
+            return loss_fn(
+                output, batch, gaussians, global_step=state.step,
+                identity_output=identity_output,
+            )
 
         (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
@@ -119,3 +145,58 @@ def make_train_step(
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def stage2_param_labels(params) -> dict:
+    """Label pytree for the stage-2 style-training freeze
+    (model_wrapper_style.py:843-916): the token-stylizer decoder + appearance
+    head are 'new' (full lr), the token-stylizer encoder is 'pretrained'
+    (lr * 0.1), everything else is 'frozen'."""
+    import jax as _jax
+
+    def label_path(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        top = keys[0] if keys else ""
+        if top == "params" and len(keys) > 1:
+            top, keys = keys[1], keys[1:]
+        if top == "gaussian_appearance_head":
+            return "new"
+        if top == "token_stylizer":
+            if len(keys) > 1 and keys[1] == "encoder":
+                return "pretrained"
+            return "new"
+        return "frozen"
+
+    return _jax.tree_util.tree_map_with_path(label_path, params)
+
+
+def make_stage2_optimizer(
+    lr: float = 2e-4,
+    warmup_steps: int = 125,
+    total_steps: int = 35_000,
+    weight_decay: float = 0.05,
+    grad_clip: float = 0.5,
+    pretrained_lr_scale: float = 0.1,
+    params=None,
+) -> optax.GradientTransformation:
+    """Stage-2 optimizer: per-group lr + freezing, matching
+    configure_optimizers' param groups."""
+
+    def group(lr_scale):
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(
+                make_schedule(lr * lr_scale, warmup_steps, total_steps),
+                b1=0.9, b2=0.95, weight_decay=weight_decay,
+            ),
+        )
+
+    labels = stage2_param_labels(params)
+    return optax.multi_transform(
+        {
+            "new": group(1.0),
+            "pretrained": group(pretrained_lr_scale),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )

@@ -202,6 +202,14 @@ def _coerce(cls, value):
         return [_coerce(item_t, v) for v in value]
     if origin in (tuple, Tuple) and isinstance(value, (list, tuple)):
         return tuple(value)
+    # Scalar casts: YAML leaves '3e-5' as a string and ints where floats are
+    # declared; coerce to the declared field type.
+    if cls is float and isinstance(value, (int, str)):
+        return float(value)
+    if cls is int and isinstance(value, str):
+        return int(value)
+    if cls is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes")
     return value
 
 
