@@ -1,0 +1,132 @@
+"""Evaluation harness (reference mode=test).
+
+Equivalent of `ModelWrapperStyle.test_step` + `on_test_end`
+(`model_wrapper_style.py:317-469`): iterate the deterministic evaluation
+index, predict gaussians with style := context view 0 (identity protocol),
+optionally pose-align target cameras, render, compute PSNR/LPIPS/SSIM with
+per-overlap-bucket running means, save images, and dump
+benchmark.json / peak_memory.json via the Benchmarker.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..infer.pipeline import align_target_poses
+from ..models.decoder import render_gaussians
+from ..models.styl3r import Batch, Styl3rModel, normalize_images
+from .benchmarker import Benchmarker
+from .metrics import MetricTracker, compute_psnr, compute_ssim
+
+
+class EvalHarness:
+    def __init__(
+        self,
+        model: Styl3rModel,
+        params,
+        image_shape=(256, 256),
+        align_pose: bool = False,
+        pose_align_steps: int = 100,
+        rot_opt_lr: float = 3e-3,
+        trans_opt_lr: float = 1e-3,
+        lpips_apply=None,
+        output_path: Optional[Path] = None,
+        save_images: bool = False,
+        render_kwargs: Optional[Dict] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.image_shape = tuple(image_shape)
+        self.align_pose = align_pose
+        self.pose_align_steps = pose_align_steps
+        self.rot_opt_lr = rot_opt_lr
+        self.trans_opt_lr = trans_opt_lr
+        self.lpips_apply = lpips_apply
+        self.output_path = Path(output_path) if output_path else None
+        self.save_images = save_images
+
+        self.tracker = MetricTracker()
+        self.benchmarker = Benchmarker()
+        self.render_kwargs = render_kwargs or {}
+
+        self._predict = jax.jit(
+            lambda p, imgs, intr, style: self.model.encoder.apply(
+                p, normalize_images(imgs), intr, normalize_images(style)
+            )
+        )
+
+    def test_step(self, batch: Batch, scene: str = "", overlap: Optional[float] = None):
+        """One eval scene; returns (metrics dict, renders)."""
+        b, t = batch.target_extrinsics.shape[:2]
+        # Identity style protocol (test uses style := context view 0,
+        # model_wrapper_style.py:325).
+        style = batch.style_image
+        if style is None or style.shape[1:3] != batch.context_images.shape[2:4]:
+            style = batch.context_images[:, 0]
+
+        with self.benchmarker.time("encoder"):
+            gaussians = jax.block_until_ready(
+                self._predict(
+                    self.params, batch.context_images, batch.context_intrinsics, style
+                )
+            )
+
+        extrinsics = batch.target_extrinsics
+        if self.align_pose:
+            with self.benchmarker.time("optimize"):
+                extrinsics = jax.block_until_ready(
+                    align_target_poses(
+                        gaussians, extrinsics, batch.target_intrinsics,
+                        batch.target_near, batch.target_far, batch.target_images,
+                        self.image_shape, steps=self.pose_align_steps,
+                        rot_lr=self.rot_opt_lr, trans_lr=self.trans_opt_lr,
+                        **self.render_kwargs,
+                    )
+                )
+
+        with self.benchmarker.time("decoder", num_calls=t):
+            output = jax.block_until_ready(
+                render_gaussians(
+                    gaussians, extrinsics, batch.target_intrinsics,
+                    batch.target_near, batch.target_far, self.image_shape,
+                    **self.render_kwargs,
+                )
+            )
+
+        h, w = self.image_shape
+        pred = output.color.reshape(b * t, h, w, 3)
+        gt = jnp.asarray(batch.target_images).reshape(b * t, h, w, 3)
+        metrics = {
+            "psnr": float(jnp.mean(compute_psnr(gt, pred))),
+            "ssim": float(jnp.mean(compute_ssim(gt, pred))),
+        }
+        if self.lpips_apply is not None:
+            metrics["lpips"] = float(jnp.mean(self.lpips_apply(pred, gt)))
+        self.tracker.update(metrics, overlap)
+
+        if self.save_images and self.output_path is not None:
+            from PIL import Image
+
+            out_dir = self.output_path / "images" / scene
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for i in range(b * t):
+                arr = (np.clip(np.asarray(pred[i]), 0, 1) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(out_dir / f"{i:04d}.png")
+        return metrics, output
+
+    def finish(self) -> Dict[str, float]:
+        """Dump tables + benchmark artifacts; returns overall means."""
+        print(self.tracker.table(), flush=True)
+        if self.output_path is not None:
+            self.output_path.mkdir(parents=True, exist_ok=True)
+            with (self.output_path / "scores.json").open("w") as f:
+                json.dump(self.tracker.means(), f, indent=2)
+            self.benchmarker.dump(self.output_path / "benchmark.json")
+            self.benchmarker.dump_memory(self.output_path / "peak_memory.json")
+        return self.tracker.means()
