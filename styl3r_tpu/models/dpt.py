@@ -172,17 +172,20 @@ def reg_dense_pts3d(raw: Array) -> Array:
 
 class DPTPts3dHead(nn.Module):
     """'dpt' head: regression tower -> (b, h, w, 3) pts3d via exp postprocess
-    (heads/dpt_head.py:101-119 + dpt_block.py:316-324)."""
+    (heads/dpt_head.py:101-119 + dpt_block.py:316-324). With `with_conf`
+    (the DUSt3R teacher configuration) a 4th channel becomes a confidence
+    map, conf = 1 + exp(x) (postprocess.py:66-77, 'exp' mode, vmin=1)."""
 
     feature_dim: int = 256
     last_dim: int = 128
     hooks: Sequence[int] = (0, 6, 9, 12)
     layer_dims: Sequence[int] = (96, 192, 384, 768)
     patch_size: int = 16
+    with_conf: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens: List[Array], image_size: Tuple[int, int]) -> Array:
+    def __call__(self, tokens: List[Array], image_size: Tuple[int, int]):
         path1 = DPTTrunk(
             hooks=self.hooks, layer_dims=self.layer_dims, feature_dim=self.feature_dim,
             patch_size=self.patch_size, dtype=self.dtype, name="trunk",
@@ -191,8 +194,13 @@ class DPTPts3dHead(nn.Module):
         x = upsample2x(x)
         x = nn.Conv(self.last_dim, (3, 3), padding=1, dtype=self.dtype, name="head_conv2")(x)
         x = nn.relu(x)
-        x = nn.Conv(3, (1, 1), dtype=self.dtype, name="head_conv3")(x)
-        return reg_dense_pts3d(x)
+        out_ch = 4 if self.with_conf else 3
+        x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="head_conv3")(x)
+        pts = reg_dense_pts3d(x[..., :3])
+        if self.with_conf:
+            conf = 1.0 + jnp.exp(jnp.minimum(x[..., 3], 20.0))
+            return pts, conf
+        return pts
 
 
 class GSParamsTower(nn.Module):
