@@ -126,15 +126,38 @@ class RE10kStyleDataset:
             return None
 
         try:
-            ctx_imgs = np.stack([decode_jpeg(raw["images"][i]) for i in sampled.context])
-            tgt_imgs = np.stack([decode_jpeg(raw["images"][i]) for i in sampled.target])
-        except (IndexError, OSError):
+            jpegs = [raw["images"][i] for i in sampled.context] + [
+                raw["images"][i] for i in sampled.target
+            ]
+        except IndexError:
             return None
 
-        if self.cfg.skip_bad_shape:
-            expect = tuple(self.cfg.original_image_shape)
-            if ctx_imgs.shape[1:3] != expect or tgt_imgs.shape[1:3] != expect:
+        decoded = None
+        expect = tuple(self.cfg.original_image_shape)
+        try:
+            # Native batched decode (threaded libjpeg + Lanczos); off-size
+            # frames are resized to the canonical shape rather than skipped.
+            from ..native import decode_jpeg_batch
+
+            decoded = decode_jpeg_batch(jpegs, expect)
+        except Exception:
+            decoded = None
+        if decoded is not None:
+            ctx_imgs = decoded[: len(sampled.context)]
+            tgt_imgs = decoded[len(sampled.context) :]
+        else:
+            try:
+                ctx_imgs = np.stack(
+                    [decode_jpeg(raw["images"][i]) for i in sampled.context]
+                )
+                tgt_imgs = np.stack(
+                    [decode_jpeg(raw["images"][i]) for i in sampled.target]
+                )
+            except (IndexError, OSError):
                 return None
+            if self.cfg.skip_bad_shape:
+                if ctx_imgs.shape[1:3] != expect or tgt_imgs.shape[1:3] != expect:
+                    return None
 
         scale = 1.0
         if self.cfg.make_baseline_1:
