@@ -151,3 +151,12 @@ def intersect_rays(
     lhs = lhs + 1e-10 * jnp.eye(3, dtype=lhs.dtype)
     result = jnp.linalg.solve(lhs, rhs[..., None])[..., 0]
     return jnp.where(parallel[..., None], jnp.full_like(result, inf), result)
+
+
+def get_local_rays_basis(coordinates: Array, intrinsics: Array) -> Array:
+    """Unit camera-space ray directions for normalized coords
+    (reference get_local_rays, projection.py:117-128)."""
+    directions = unproject(
+        coordinates, jnp.ones_like(coordinates[..., 0]), intrinsics
+    )
+    return directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)

@@ -45,6 +45,52 @@ class RenderOutput(NamedTuple):
     alpha: Array  # (h, w) accumulated opacity
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def composite_pallas_diff(
+    attrs, starts, counts, background, gy, gx, max_per_tile, interpret
+):
+    """Differentiable Pallas compositing: forward + backward both run as TPU
+    kernels (pallas_kernel.py / pallas_backward.py)."""
+    from .pallas_kernel import composite_tiles_pallas
+
+    color, depth, alpha, _, _ = composite_tiles_pallas(
+        attrs, starts, counts, background, (gy, gx),
+        max_per_tile=max_per_tile, interpret=interpret,
+    )
+    return color, depth, alpha
+
+
+def _composite_pallas_fwd(attrs, starts, counts, background, gy, gx, max_per_tile, interpret):
+    from .pallas_kernel import composite_tiles_pallas
+
+    color, depth, alpha, n_done, t_final = composite_tiles_pallas(
+        attrs, starts, counts, background, (gy, gx),
+        max_per_tile=max_per_tile, interpret=interpret,
+    )
+    residuals = (attrs, starts, counts, background, n_done, t_final)
+    return (color, depth, alpha), residuals
+
+
+def _composite_pallas_bwd(gy, gx, max_per_tile, interpret, residuals, cotangents):
+    from .pallas_backward import backward_tiles_pallas, scatter_window_grads
+
+    attrs, starts, counts, background, n_done, t_final = residuals
+    dcolor, ddepth, dalpha = cotangents
+    # Fold the T_N * bg color term's alpha-derivative into the dalpha channel:
+    # d/d(alpha_i) [T_N * bg] = -T_N * bg / (1 - alpha_i).
+    da_eff = dalpha - jnp.einsum("tpc,c->tp", dcolor, background)
+    window_grads = backward_tiles_pallas(
+        attrs, starts, counts, n_done, dcolor, ddepth, da_eff, t_final,
+        (gy, gx), max_per_tile=max_per_tile, interpret=interpret,
+    )
+    grad_attrs = scatter_window_grads(window_grads, starts, attrs.shape[1])
+    grad_bg = jnp.einsum("tpc,tp->c", dcolor, t_final)
+    return grad_attrs, None, None, grad_bg
+
+
+composite_pallas_diff.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
+
+
 def _build_pairs(
     means2d: Array,
     radii: Array,
@@ -136,16 +182,15 @@ def render(
     counts = jnp.minimum(ends - starts, max_per_tile)
 
     if impl in ("pallas", "pallas_interpret"):
-        from .pallas_kernel import composite_tiles_pallas, pack_attrs
+        from .pallas_kernel import pack_attrs
 
         attrs = pack_attrs(
             proj.means2d, proj.conics, opacities.astype(jnp.float32), colors,
             proj.depths, sorted_gidx,
         )
-        rgb, dep, alpha = composite_tiles_pallas(
-            attrs, starts, counts, background, (gy, gx),
-            max_per_tile=max_per_tile,
-            interpret=(impl == "pallas_interpret"),
+        rgb, dep, alpha = composite_pallas_diff(
+            attrs, starts, counts, background, gy, gx,
+            max_per_tile, impl == "pallas_interpret",
         )
         color = (
             rgb.reshape(gy, gx, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)

@@ -230,6 +230,9 @@ class Trainer:
             )
 
         h, w = first.context_images.shape[2:4]
+        impl = cfg.model.decoder.impl
+        if impl == "auto":
+            impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
         step_fn = make_train_step(
             self.model,
             tx,
@@ -239,6 +242,7 @@ class Trainer:
             identity_branch=self.loss_bundle.needs_identity_branch(),
             max_per_tile=cfg.model.decoder.max_per_tile,
             max_tiles_per_gaussian=cfg.model.decoder.max_tiles_per_gaussian,
+            impl=impl,
         )
         repl = replicated_sharding(self.mesh)
         bshard = batch_sharding(self.mesh)

@@ -40,6 +40,7 @@ class ModelDecoderCfg:
     make_scale_invariant: bool = False
     max_tiles_per_gaussian: int = 32
     max_per_tile: int = 4096
+    impl: str = "auto"  # auto | jnp | pallas
 
 
 @dataclass

@@ -1,0 +1,94 @@
+"""Tests for auxiliary components: legacy stylizers, SH camera embedding,
+evaluation index generator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from styl3r_tpu.geometry.camera_emb import get_intrinsic_embedding, rsh_cart
+from styl3r_tpu.models.stylizers import (
+    AdaIN2D,
+    adain,
+    adain_pointcloud,
+    linear_stylizer,
+)
+from styl3r_tpu.eval.index_generator import generate_scene_entry, view_overlap
+
+
+def test_adain_transfers_statistics():
+    rng = np.random.default_rng(0)
+    content = jnp.asarray(rng.normal(2.0, 3.0, (2, 8, 8, 4)), jnp.float32)
+    style = jnp.asarray(rng.normal(-1.0, 0.5, (2, 8, 8, 4)), jnp.float32)
+    out = adain(content, style)
+    np.testing.assert_allclose(
+        out.mean(axis=(1, 2)), style.mean(axis=(1, 2)), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        out.std(axis=(1, 2)), style.std(axis=(1, 2)), atol=1e-3
+    )
+
+
+def test_adain_pointcloud():
+    rng = np.random.default_rng(1)
+    content = jnp.asarray(rng.normal(0, 1, (1, 100, 8)), jnp.float32)
+    style = jnp.asarray(rng.normal(3, 2, (1, 4, 4, 8)), jnp.float32)
+    out = adain_pointcloud(content, style)
+    np.testing.assert_allclose(
+        out.mean(axis=1), style.reshape(1, -1, 8).mean(axis=1), atol=1e-3
+    )
+
+
+def test_linear_stylizer_matches_style_covariance():
+    rng = np.random.default_rng(2)
+    content = jnp.asarray(rng.normal(size=(1, 500, 6)), jnp.float32)
+    style = jnp.asarray(rng.normal(size=(1, 10, 10, 6)) @ np.diag([3, 1, 1, 1, 1, 0.5]).astype(np.float32), jnp.float32)
+    out = np.asarray(linear_stylizer(content, style))
+    cov_out = np.cov(out[0].T)
+    cov_sty = np.cov(np.asarray(style).reshape(-1, 6).T)
+    # Covariances should be close (up to sampling error of the whitening).
+    assert np.abs(cov_out - cov_sty).max() < 0.5
+
+
+def test_adain2d_shapes():
+    model = AdaIN2D()
+    rng = np.random.default_rng(3)
+    content = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    style = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), content, style)
+    out = model.apply(params, content, style)
+    assert out.shape == (1, 64, 64, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_rsh_cart_orthonormal():
+    rng = np.random.default_rng(4)
+    d = rng.normal(size=(100_000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    basis = np.asarray(rsh_cart(jnp.asarray(d, jnp.float32), 4))
+    gram = basis.T @ basis / len(d) * 4 * np.pi
+    assert np.abs(gram - np.eye(25)).max() < 0.05
+
+
+def test_intrinsic_embedding_shapes():
+    k = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]], jnp.float32)
+    for degree, ch in [(0, 3), (2, 9), (4, 25)]:
+        emb = get_intrinsic_embedding(k, (8, 8), degree=degree)
+        assert emb.shape == (8, 8, ch)
+
+
+def test_view_overlap_monotonic():
+    n = 50
+    ext = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    ext[:, 0, 3] = np.linspace(0, 2, n)
+    k = np.tile(
+        np.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32), (n, 1, 1)
+    )
+    ov = [view_overlap(ext[0], ext[i], k[0], k[i]) for i in [0, 10, 49]]
+    assert ov[0] == 1.0
+    assert ov[0] > ov[1] > ov[2]
+
+    entry = generate_scene_entry(ext, k, min_gap=5, max_gap=40)
+    assert entry is not None
+    left, right = entry["context"]
+    assert all(left < t < right for t in entry["target"])

@@ -263,3 +263,36 @@ def test_render_pose_delta_shifts_image():
     base_cx = np.argmax(np.asarray(base[31, :, 0]))
     shifted_cx = np.argmax(np.asarray(shifted[31, :, 0]))
     assert shifted_cx < base_cx
+
+
+def test_pallas_backward_matches_autodiff():
+    """The Pallas backward kernel (interpret mode) must match jnp autodiff."""
+    rng = np.random.default_rng(11)
+    g = 200
+    means = jnp.asarray(
+        np.stack([rng.uniform(-1.5, 1.5, g), rng.uniform(-1.5, 1.5, g), rng.uniform(1, 6, g)], -1),
+        jnp.float32,
+    )
+    scales = jnp.asarray(rng.uniform(0.02, 0.12, (g, 3)), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(g, 4)), jnp.float32)
+    sh = jnp.asarray((rng.uniform(0, 1, (g, 3, 1)) - 0.5) / SH_C0, jnp.float32)
+    op = jnp.asarray(rng.uniform(0.2, 0.9, g), jnp.float32)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    cam = default_camera()
+    tgt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+
+    def loss(impl, means, scales, quats, sh, op, bgc):
+        cov = build_covariance(scales, quats)
+        out = render(cam, means, cov, sh, op, (H, W), bgc, max_per_tile=512, impl=impl)
+        return (
+            jnp.mean((out.color - tgt) ** 2)
+            + 0.1 * jnp.mean(out.depth)
+            + 0.05 * jnp.mean(out.alpha)
+        )
+
+    args = (means, scales, quats, sh, op, bg)
+    g_jnp = jax.grad(lambda *a: loss("jnp", *a), argnums=tuple(range(6)))(*args)
+    g_pal = jax.grad(lambda *a: loss("pallas_interpret", *a), argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(["means", "scales", "quats", "sh", "op", "bg"], g_jnp, g_pal):
+        scale = float(jnp.abs(a).max()) + 1e-12
+        assert float(jnp.abs(a - b).max()) / scale < 1e-4, name
