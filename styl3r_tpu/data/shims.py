@@ -107,3 +107,42 @@ def prepare_style_image(
 def normalize_to_unit(images: np.ndarray) -> np.ndarray:
     """[0,1] -> [-1,1] (normalize_shim.py: mean/std 0.5)."""
     return images * 2.0 - 1.0
+
+
+def compute_depth_bounds(
+    extrinsics: np.ndarray,
+    near_disparity: float = 25.0,
+    far_disparity: float = 0.5,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Near/far planes from the context baseline (bounds_shim.py:41-80):
+    disparity-based bounds scaled by the mean inter-camera distance. Unused
+    with the fixed near=0.1/far=100 defaults, kept for config parity."""
+    origins = extrinsics[:, :3, 3]
+    n = len(origins)
+    if n < 2:
+        baseline = 1.0
+    else:
+        deltas = origins[1:] - origins[:-1]
+        baseline = float(np.linalg.norm(deltas, axis=-1).mean())
+        baseline = max(baseline, 1e-6)
+    near = np.full((n,), baseline / near_disparity, np.float32)
+    far = np.full((n,), baseline / far_disparity, np.float32)
+    return near, far
+
+
+def random_patch_crop(
+    image: np.ndarray, intrinsics: np.ndarray, patch: int,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random patch crop with intrinsics fixup (patch_shim)."""
+    h, w = image.shape[:2]
+    row = int(rng.integers(0, h - patch + 1))
+    col = int(rng.integers(0, w - patch + 1))
+    out = image[row : row + patch, col : col + patch]
+    k = intrinsics.copy()
+    # Scale focal, shift principal point into the patch frame.
+    k[0, 0] *= w / patch
+    k[1, 1] *= h / patch
+    k[0, 2] = (k[0, 2] * w - col) / patch
+    k[1, 2] = (k[1, 2] * h - row) / patch
+    return out, k

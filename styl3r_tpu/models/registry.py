@@ -1,0 +1,60 @@
+"""Component registries mirroring the reference's factory surface
+(`src/model/encoder/__init__.py`, `backbone/__init__.py`,
+`decoder/__init__.py`, `loss/__init__.py`).
+
+Names map to the TPU-native implementations; legacy components the reference
+registers but never uses in its release configs (dino/resnet backbones, the
+2-view token-style encoder variant) raise with a pointer instead of silently
+misbehaving.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+
+def get_backbone(name: str, **kwargs):
+    from .croco import MultiViewCrocoBackbone
+
+    if name in ("croco", "croco_multi"):
+        # The multiview backbone at v=2 is exactly the asymmetric two-view
+        # model (view 0 through dec_blocks, view 1 through dec_blocks2).
+        return MultiViewCrocoBackbone(**kwargs)
+    if name in ("croco_enc", "dino", "resnet"):
+        raise NotImplementedError(
+            f"backbone '{name}' is a NoPoSplat legacy variant that no Styl3R "
+            "release config uses; the production backbone is 'croco_multi'."
+        )
+    raise ValueError(f"unknown backbone: {name}")
+
+
+def get_encoder(name: str, **kwargs):
+    from .encoder import Styl3rEncoder
+
+    if name in ("noposplat_multi_token_style", "noposplat_token_style"):
+        # The N-view encoder generalizes the 2-view variant (StructureBuilder
+        # is subsumed by the multiview decoder at v=2).
+        return Styl3rEncoder(**kwargs)
+    if name in ("noposplat", "noposplat_multi"):
+        # Style-free NVS encoders: same network; train with stylized=False
+        # (style := context view 0) to reproduce them.
+        return Styl3rEncoder(**kwargs)
+    raise ValueError(f"unknown encoder: {name}")
+
+
+def get_decoder(name: str = "splatting", **kwargs):
+    from functools import partial
+
+    from .decoder import render_gaussians
+
+    if name in ("splatting", "splatting_cuda"):
+        return partial(render_gaussians, **kwargs)
+    raise ValueError(f"unknown decoder: {name}")
+
+
+def get_distiller(name: str = "dust3r", **kwargs):
+    from .distiller import Dust3RTeacher
+
+    if name in ("dust3r", "mast3r"):
+        return Dust3RTeacher(**kwargs)
+    raise ValueError(f"unknown distiller: {name}")

@@ -195,3 +195,17 @@ class PatchEmbed(nn.Module):
             token_grid_positions(h // p, w // p)[None], (b, tokens.shape[1], 2)
         )
         return tokens, pos
+
+
+def random_token_mask(
+    rng_key, batch: int, num_tokens: int, mask_ratio: float
+) -> Array:
+    """CroCo's RandomMask (croco/masking.py:12-25): boolean (b, n) with
+    round(n * ratio) True entries per row. Retained for pretraining parity;
+    the downstream models never mask."""
+    import jax
+
+    num_masked = int(round(num_tokens * mask_ratio))
+    noise = jax.random.uniform(rng_key, (batch, num_tokens))
+    ranks = jnp.argsort(jnp.argsort(noise, axis=1), axis=1)
+    return ranks < num_masked

@@ -61,6 +61,35 @@ class LocalLogger:
         Image.fromarray(arr).save(img_dir / f"{step:0>8}.png")
 
 
+class WandbLogger(LocalLogger):
+    """Optional Weights & Biases logging on top of the local logger
+    (reference main_style.py:61-77 WandbLogger-or-LocalLogger)."""
+
+    def __init__(self, output_dir: Path, project: str = "styl3r_tpu", name: str = ""):
+        super().__init__(output_dir)
+        import wandb  # raises if not installed; caller falls back to LocalLogger
+
+        self._wandb = wandb
+        self._run = wandb.init(project=project, name=name or None, dir=str(output_dir))
+
+    def log_scalars(self, step: int, metrics: Dict[str, float]):
+        super().log_scalars(step, metrics)
+        self._wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def log_image(self, step: int, name: str, image: np.ndarray):
+        super().log_image(step, name, image)
+        self._wandb.log({name: self._wandb.Image(np.clip(image, 0, 1))}, step=step)
+
+
+def make_logger(output_dir: Path, use_wandb: bool = False, **kwargs) -> LocalLogger:
+    if use_wandb:
+        try:
+            return WandbLogger(output_dir, **kwargs)
+        except Exception as exc:  # wandb missing or offline
+            print(f"wandb unavailable ({exc}); falling back to LocalLogger")
+    return LocalLogger(output_dir)
+
+
 def build_datasets(cfg: RootCfg, stage: str, seed: int, step_fn) -> List:
     datasets = []
     for ds_cfg in cfg.datasets:

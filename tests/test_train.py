@@ -125,3 +125,51 @@ def test_metric_tracker_and_psnr():
 
     img = jnp.zeros((1, 8, 8, 3))
     np.testing.assert_allclose(compute_psnr(img, img + 0.1), 20.0, atol=0.01)
+
+
+def test_style_stage_training_step():
+    """Stage-2 style training: style + identity losses with (random-weight)
+    VGG through the full train step, stylizer-only updates."""
+    import torch
+    from tests.test_losses import features_state_dict, make_vgg19_features
+    from styl3r_tpu.losses.vgg import convert_torchvision_vgg19
+    from styl3r_tpu.train.losses import LossBundle
+
+    rng = np.random.default_rng(7)
+    model = Styl3rModel(sh_degree=0, **TINY)
+    batch = tiny_batch(rng)
+
+    vgg_params = jax.tree.map(
+        jnp.asarray, convert_torchvision_vgg19(features_state_dict(make_vgg19_features()))
+    )
+    bundle = LossBundle(
+        mse_weight=None, style_weight=10.0, identity=True, vgg19_params=vgg_params
+    )
+    params = model.init(jax.random.key(0), batch)
+    tx = make_stage2_optimizer(lr=1e-4, warmup_steps=0, total_steps=10, params=params)
+    from styl3r_tpu.train.step import TrainState
+
+    state = TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+    step = jax.jit(
+        make_train_step(
+            model, tx, (H, W), loss_fn=bundle, stylized=True, identity_branch=True,
+            max_per_tile=256, max_tiles_per_gaussian=8,
+        )
+    )
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert "style" in metrics and "identity" in metrics
+    assert float(metrics["style"]) > 0 and float(metrics["identity"]) > 0
+
+
+def test_registries():
+    from styl3r_tpu.models.registry import get_backbone, get_decoder, get_distiller, get_encoder
+
+    assert type(get_encoder("noposplat_multi_token_style", **TINY)).__name__ == "Styl3rEncoder"
+    assert type(get_backbone("croco_multi")).__name__ == "MultiViewCrocoBackbone"
+    assert callable(get_decoder("splatting_cuda"))
+    assert type(get_distiller("mast3r")).__name__ == "Dust3RTeacher"
+    with pytest.raises(NotImplementedError):
+        get_backbone("resnet")
+    with pytest.raises(ValueError):
+        get_encoder("bogus")
