@@ -251,3 +251,47 @@ def split_noposplat_gs_head(
     appearance["dpt.head.4.weight"] = head["dpt.head.4.weight"][-3 * d_sh :]
     appearance["dpt.head.4.bias"] = head["dpt.head.4.bias"][-3 * d_sh :]
     return {"structure": structure, "appearance": appearance}
+
+
+def _resize_bilinear_half_pixel(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Simple bilinear resize (half-pixel centers, matching jax.image.resize)."""
+    ys = (np.arange(h) + 0.5) * img.shape[0] / h - 0.5
+    xs = (np.arange(w) + 0.5) * img.shape[1] / w - 0.5
+    ys = np.clip(ys, 0, img.shape[0] - 1)
+    xs = np.clip(xs, 0, img.shape[1] - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, img.shape[0] - 1)
+    x1 = np.minimum(x0 + 1, img.shape[1] - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    return (
+        img[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + img[np.ix_(y0, x1)] * (1 - wy) * wx
+        + img[np.ix_(y1, x0)] * wy * (1 - wx)
+        + img[np.ix_(y1, x1)] * wy * wx
+    )
+
+
+def resample_patch_embed_kernel(kernel: np.ndarray, new_size) -> np.ndarray:
+    """FlexiViT pseudo-inverse patch-embedding resampling
+    (reference misc/weight_modify.py:13-86): produce a (nh, nw, in, out)
+    kernel such that responses on bilinearly-resized patches match the old
+    kernel's responses on the originals. Needed when warm-starting at a
+    different patch resolution than the checkpoint's."""
+    old_h, old_w = kernel.shape[:2]
+    new_h, new_w = new_size
+    if (old_h, old_w) == (new_h, new_w):
+        return kernel
+
+    # Resize operator B: (new_h*new_w, old_h*old_w) acting on flattened patches.
+    basis = np.eye(old_h * old_w).reshape(-1, old_h, old_w)
+    b = np.stack(
+        [_resize_bilinear_half_pixel(e, new_h, new_w).reshape(-1) for e in basis],
+        axis=1,
+    )
+    # w_new = pinv(B^T) @ w_old  =>  w_new^T (B x) ~= w_old^T x for all patches x.
+    projector = np.linalg.pinv(b.T)  # (new², old²)
+    w_old = kernel.reshape(old_h * old_w, -1)
+    w_new = projector @ w_old
+    return w_new.reshape(new_h, new_w, *kernel.shape[2:]).astype(kernel.dtype)

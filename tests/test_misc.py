@@ -92,3 +92,45 @@ def test_view_overlap_monotonic():
     assert entry is not None
     left, right = entry["context"]
     assert all(left < t < right for t in entry["target"])
+
+
+def test_depth_smoothness_loss():
+    from styl3r_tpu.losses.depth import depth_smoothness_loss
+
+    flat = jnp.ones((1, 8, 8))
+    assert float(depth_smoothness_loss(flat)) == 0.0
+    ramp = jnp.broadcast_to(jnp.arange(8.0), (1, 8, 8))
+    assert float(depth_smoothness_loss(ramp)) > 0
+    # Bilateral weighting suppresses the penalty at image edges.
+    img = jnp.broadcast_to((jnp.arange(8.0) > 3)[None, :, None], (1, 8, 8, 3)).astype(jnp.float32)
+    step_depth = jnp.broadcast_to((jnp.arange(8.0) > 3), (1, 8, 8)).astype(jnp.float32)
+    plain = float(depth_smoothness_loss(step_depth))
+    weighted = float(depth_smoothness_loss(step_depth, img))
+    assert weighted < plain
+
+
+def test_resample_patch_embed_kernel():
+    from styl3r_tpu.utils.checkpoint import resample_patch_embed_kernel
+
+    rng = np.random.default_rng(9)
+    kernel = rng.normal(size=(8, 8, 3, 8)).astype(np.float32)
+    resized = resample_patch_embed_kernel(kernel, (16, 16))
+    assert resized.shape == (16, 16, 3, 8)
+    # FlexiViT property (exact for upsampling, where the resize operator is
+    # injective): the resampled kernel's response on an upsampled patch equals
+    # the old kernel's response on the original patch.
+    from styl3r_tpu.utils.checkpoint import _resize_bilinear_half_pixel
+
+    patch = rng.normal(size=(8, 8, 3)).astype(np.float32)
+    big = np.stack(
+        [_resize_bilinear_half_pixel(patch[..., c], 16, 16) for c in range(3)], -1
+    )
+    r_old = np.einsum("hwc,hwco->o", patch, kernel)
+    r_new = np.einsum("hwc,hwco->o", big, resized)
+    np.testing.assert_allclose(r_new, r_old, rtol=1e-3, atol=1e-3)
+    # downsampling still produces the right shape (lossy, least-squares)
+    down = resample_patch_embed_kernel(resized, (8, 8))
+    assert down.shape == (8, 8, 3, 8)
+    # identity when sizes match
+    same = resample_patch_embed_kernel(kernel, (8, 8))
+    np.testing.assert_array_equal(same, kernel)
