@@ -182,3 +182,29 @@ def test_lpips_converter_and_properties():
     d_diff = model.apply(params, x, y)
     np.testing.assert_allclose(d_same, np.zeros(2), atol=1e-6)
     assert float(d_diff.min()) > 0
+
+
+def test_adaattn_loss():
+    from styl3r_tpu.losses.adaattn import adaattn_loss, adaattn_transform, gram_matrix
+
+    vgg = _random_vgg()
+    rng = np.random.default_rng(8)
+    pred = jnp.asarray(rng.uniform(0, 1, (1, 2, 32, 32, 3)), jnp.float32)
+    style = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+
+    # Content term vanishes when pred equals the style-normalized target and
+    # the style stats match (pred == target == "style views").
+    loss, metrics = adaattn_loss(vgg, pred, pred, style, norm="adain")
+    assert float(loss) > 0  # stats differ from the style image
+    loss2, metrics2 = adaattn_loss(vgg, pred, pred, pred[:, 0], norm="adain")
+    assert float(metrics2["adaattn_style"]) < float(metrics["adaattn_style"])
+
+    # adaattn transform preserves shape and is finite.
+    feat = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), jnp.float32)
+    sty = jnp.asarray(rng.normal(2, 3, size=(1, 6, 6, 16)), jnp.float32)
+    out = adaattn_transform(feat, sty, feat, sty)
+    assert out.shape == feat.shape and bool(jnp.isfinite(out).all())
+
+    g = gram_matrix(feat)
+    assert g.shape == (1, 16, 16)
+    np.testing.assert_allclose(g, jnp.swapaxes(g, 1, 2), atol=1e-6)
