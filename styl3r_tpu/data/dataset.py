@@ -55,17 +55,35 @@ class RE10kStyleDataset:
         view_sampler,
         seed: int = 0,
         step_fn: Callable[[], int] = lambda: 0,
+        shard_id: Optional[int] = None,
+        num_shards: Optional[int] = None,
     ):
         self.cfg = cfg
         self.stage = stage
         self.view_sampler = view_sampler
-        self.rng = np.random.default_rng(seed)
         self.step_fn = step_fn
+
+        # Multi-host input sharding: each host reads a disjoint chunk subset
+        # (the reference's per-rank DataLoader seeding maps to per-host shards
+        # + per-host RNG here; SURVEY.md section 2.8).
+        if shard_id is None or num_shards is None:
+            try:
+                import jax
+
+                shard_id = jax.process_index()
+                num_shards = jax.process_count()
+            except Exception:
+                shard_id, num_shards = 0, 1
+        self.shard_id, self.num_shards = shard_id, num_shards
+        self.rng = np.random.default_rng(seed + 7919 * shard_id)
 
         data_stage = "test" if stage in ("val", "test") else "train"
         if cfg.overfit_to_scene is not None:
             data_stage = "test"
-        self.chunks = list_chunks(list(cfg.roots), data_stage)
+        chunks = list_chunks(list(cfg.roots), data_stage)
+        if num_shards > 1:
+            chunks = chunks[shard_id::num_shards] or chunks
+        self.chunks = chunks
 
         self.scene_style_mapping: Dict[str, str] = {}
         if cfg.style_root is not None and cfg.specified_style_image is None:
