@@ -81,3 +81,65 @@ def unified_gaussian_adapter(
         scales=scales,
         rotations=rotations,
     )
+
+
+def get_scale_multiplier(
+    intrinsics: Array, pixel_size: Array, multiplier: float = 0.1
+) -> Array:
+    """Pixel-size-aware scale multiplier (gaussian_adapter.py:100-111)."""
+    k2 = intrinsics[..., :2, :2]
+    inv = jnp.linalg.inv(k2)
+    xy = multiplier * jnp.einsum("...ij,...j->...i", inv, pixel_size)
+    return jnp.sum(xy, axis=-1)
+
+
+def posed_gaussian_adapter(
+    extrinsics: Array,  # (..., 4, 4) c2w
+    intrinsics: Array,  # (..., 3, 3) normalized
+    coordinates: Array,  # (..., 2) normalized pixel coords
+    depths: Array,  # (...)
+    opacities: Array,  # (...)
+    raw: Array,  # (..., 7 + 3*d_sh)
+    image_shape,
+    sh_degree: int,
+    gaussian_scale_min: float = 0.5,
+    gaussian_scale_max: float = 15.0,
+    eps: float = 1e-8,
+) -> Gaussians:
+    """The posed (non-pose-free) adapter (gaussian_adapter.py:50-98): means
+    unproject along camera rays at the predicted depth; scales are sigmoid-
+    bounded in [min, max] and modulated by depth and pixel size; covariances
+    rotate into world space with the camera rotation."""
+    from ..geometry.projection import get_world_rays
+
+    h, w = image_shape
+    n_sh = d_sh(sh_degree)
+    scales = raw[..., 0:3]
+    rotations = raw[..., 3:7]
+    sh = raw[..., 7 : 7 + 3 * n_sh]
+
+    scales = gaussian_scale_min + (gaussian_scale_max - gaussian_scale_min) * (
+        1.0 / (1.0 + jnp.exp(-scales))
+    )
+    pixel_size = jnp.asarray([1.0 / w, 1.0 / h], raw.dtype)
+    multiplier = get_scale_multiplier(intrinsics, pixel_size)
+    scales = scales * depths[..., None] * multiplier[..., None]
+
+    rotations = rotations / (jnp.linalg.norm(rotations, axis=-1, keepdims=True) + eps)
+    sh = sh.reshape(*sh.shape[:-1], 3, n_sh) * sh_degree_mask(sh_degree, raw.dtype)
+
+    covariances = build_covariance(scales, rotations)
+    c2w_rot = extrinsics[..., :3, :3]
+    covariances = c2w_rot @ covariances @ jnp.swapaxes(c2w_rot, -1, -2)
+
+    origins, directions = get_world_rays(coordinates, extrinsics, intrinsics)
+    means = origins + directions * depths[..., None]
+
+    return Gaussians(
+        means=means,
+        covariances=covariances,
+        harmonics=sh,  # reference leaves SH unrotated (rotate_sh bypassed)
+        opacities=opacities,
+        scales=scales,
+        rotations=jnp.broadcast_to(rotations, (*scales.shape[:-1], 4)),
+    )

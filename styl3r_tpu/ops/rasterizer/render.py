@@ -98,6 +98,7 @@ def _build_pairs(
     mask: Array,
     grid: Tuple[int, int],
     max_tiles_per_gaussian: int,
+    opacities: Array = None,
 ) -> Tuple[Array, Array, Array]:
     """Emit (tile_id, depth, gaussian_idx) pairs for every tile each gaussian
     touches. Invalid slots get tile_id = n_tiles (sorts to the end)."""
@@ -114,6 +115,13 @@ def _build_pairs(
     rw = tx1 - tx0 + 1
     rh = ty1 - ty0 + 1
     area = rw * rh
+
+    if opacities is not None:
+        # A gaussian with opacity < 1/255 can never pass the compositing
+        # alpha threshold (alpha = op * exp(power<=0)); cull it from binning.
+        # Exactly correctness-neutral; big win on trained models where many
+        # gaussians are near-transparent.
+        mask = mask & (opacities >= (1.0 / 255.0))
 
     offs = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)  # (m,)
     oy = offs[None, :] // rw[:, None]  # (g, m)
@@ -170,7 +178,8 @@ def render(
     colors = eval_sh(harmonics, dirs)  # (g, 3)
 
     pair_tiles, pair_depths, pair_gidx = _build_pairs(
-        proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx), max_tiles_per_gaussian
+        proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
+        max_tiles_per_gaussian, opacities=opacities,
     )
     # One global lexicographic sort by (tile, depth) bins and depth-orders at once.
     sorted_tiles, _, sorted_gidx = jax.lax.sort(

@@ -134,3 +134,31 @@ def test_model_gradient_flows_to_params():
             total[key] += float(jnp.abs(g).sum())
     for name, s in total.items():
         assert s > 0, f"no gradient reached {name}"
+
+
+def test_posed_gaussian_adapter():
+    from styl3r_tpu.models.adapter import posed_gaussian_adapter
+    from styl3r_tpu.geometry import se3_exp
+
+    rng = np.random.default_rng(5)
+    n = 16
+    ext = jnp.asarray(se3_exp(jnp.asarray([0.2, 0.1, -0.1, 0.05, 0.0, 0.1])))
+    k = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]], jnp.float32)
+    coords = jnp.asarray(rng.uniform(0.1, 0.9, (n, 2)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(1, 4, (n,)), jnp.float32)
+    raw = jnp.asarray(rng.normal(size=(n, raw_gaussian_channels(0))), jnp.float32)
+
+    g = posed_gaussian_adapter(
+        ext, k, coords, depths, jnp.full((n,), 0.5), raw, (64, 64), sh_degree=0
+    )
+    # Means are at the given depth along the rays: reprojecting returns coords.
+    from styl3r_tpu.geometry import project
+
+    xy, front = project(g.means, ext, k)
+    assert bool(front.all())
+    np.testing.assert_allclose(xy, coords, atol=1e-4)
+    # Scales bounded by max * depth * multiplier, positive.
+    assert float(g.scales.min()) > 0
+    # World covariance stays PSD after the camera rotation.
+    eig = np.linalg.eigvalsh(np.asarray(g.covariances))
+    assert eig.min() > 0
