@@ -94,3 +94,50 @@ def render_gaussians(
         cam_rot_delta, cam_trans_delta, means, covs, shs, opas,
     )
     return DecoderOutput(color=out.color, depth=out.depth, alpha=out.alpha)
+
+
+def render_orthographic(
+    gaussians: Gaussians,
+    extrinsics: Array,  # (b, v, 4, 4) c2w
+    width: Array,  # (b, v) world-units view width
+    height: Array,  # (b, v)
+    near: Array,
+    far: Array,
+    image_shape: Tuple[int, int],
+    fov_degrees: float = 0.1,
+    **render_kwargs,
+) -> DecoderOutput:
+    """Orthographic-style projection for top-down gaussian/camera
+    visualizations (reference render_cuda_orthographic,
+    cuda_splatting.py:136-227): fake orthography by pulling the camera far
+    back with a tiny field of view."""
+    h, w = image_shape
+    fov_x = jnp.deg2rad(jnp.asarray(fov_degrees))
+    tan_fov_x = jnp.tan(0.5 * fov_x)
+    distance = (0.5 * width) / tan_fov_x
+    tan_fov_y = 0.5 * height / distance
+
+    # Move each camera back along its own -z.
+    def backed(ext, d):
+        m = jnp.eye(4).at[2, 3].set(-d)
+        return ext @ m
+
+    b, v = extrinsics.shape[:2]
+    ext_flat = extrinsics.reshape(b * v, 4, 4)
+    d_flat = distance.reshape(b * v)
+    new_ext = jax.vmap(backed)(ext_flat, d_flat).reshape(b, v, 4, 4)
+
+    # Normalized intrinsics with the tiny fov: fx = 1/(2 tan_x).
+    fx = 1.0 / (2.0 * tan_fov_x)
+    fy = 1.0 / (2.0 * tan_fov_y)
+    k = jnp.zeros((b, v, 3, 3))
+    k = k.at[..., 0, 0].set(fx)
+    k = k.at[..., 1, 1].set(fy)
+    k = k.at[..., 0, 2].set(0.5)
+    k = k.at[..., 1, 2].set(0.5)
+    k = k.at[..., 2, 2].set(1.0)
+
+    return render_gaussians(
+        gaussians, new_ext, k, near + distance, far + distance, image_shape,
+        **render_kwargs,
+    )

@@ -162,3 +162,26 @@ def test_posed_gaussian_adapter():
     # World covariance stays PSD after the camera rotation.
     eig = np.linalg.eigvalsh(np.asarray(g.covariances))
     assert eig.min() > 0
+
+
+def test_render_orthographic():
+    from styl3r_tpu.geometry import Gaussians, build_covariance
+    from styl3r_tpu.models.decoder import render_orthographic
+
+    rng = np.random.default_rng(6)
+    g = 64
+    means = jnp.asarray(
+        np.stack([rng.uniform(-1, 1, g), rng.uniform(-1, 1, g), rng.uniform(1, 2, g)], -1),
+        jnp.float32,
+    )[None]
+    cov = build_covariance(jnp.full((g, 3), 0.05), jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (g, 1)))[None]
+    sh = jnp.asarray((rng.uniform(0, 1, (1, g, 3, 1)) - 0.5) / 0.2821, jnp.float32)
+    gaussians = Gaussians(means, cov, sh, jnp.full((1, g), 0.9))
+    out = render_orthographic(
+        gaussians, jnp.eye(4)[None, None], jnp.full((1, 1), 3.0), jnp.full((1, 1), 3.0),
+        jnp.full((1, 1), 0.1), jnp.full((1, 1), 100.0), (64, 64),
+        max_per_tile=512, max_tiles_per_gaussian=8,
+    )
+    assert out.color.shape == (1, 1, 64, 64, 3)
+    assert bool(jnp.isfinite(out.color).all())
+    assert float(out.alpha.mean()) > 0.01  # splats visible
