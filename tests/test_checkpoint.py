@@ -10,6 +10,7 @@ outputs — the certificate that real released checkpoints will load correctly.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 from torch import nn
@@ -283,6 +284,7 @@ class TorchStyl3rEncoder(nn.Module):
         return pts, raw
 
 
+@pytest.mark.slow
 def test_converted_checkpoint_reproduces_torch_outputs():
     tm = TorchStyl3rEncoder().eval()
     # Prefix keys like the Lightning wrapper does.

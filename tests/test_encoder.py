@@ -90,6 +90,7 @@ def test_encoder_shapes_and_determinism():
     np.testing.assert_allclose(g.means, g2.means, atol=0)
 
 
+@pytest.mark.slow
 def test_model_forward_renders():
     rng = np.random.default_rng(2)
     model = Styl3rModel(sh_degree=0, **TINY)
@@ -103,6 +104,7 @@ def test_model_forward_renders():
     assert bool(jnp.isfinite(out.color).all())
 
 
+@pytest.mark.slow
 def test_model_gradient_flows_to_params():
     rng = np.random.default_rng(3)
     model = Styl3rModel(sh_degree=0, **TINY)

@@ -37,6 +37,7 @@ def tiny_batch(rng, t=2):
     )
 
 
+@pytest.mark.slow
 def test_overfit_decreases_loss():
     # NOTE: lr is small because the pts3d head's expm1 postprocess makes a
     # randomly-initialized model exponentially sensitive; real training always
@@ -61,6 +62,7 @@ def test_overfit_decreases_loss():
     assert int(state.step) == 10
 
 
+@pytest.mark.slow
 def test_stage2_labels_and_freeze():
     rng = np.random.default_rng(1)
     model = Styl3rModel(sh_degree=0, **TINY)
@@ -127,6 +129,7 @@ def test_metric_tracker_and_psnr():
     np.testing.assert_allclose(compute_psnr(img, img + 0.1), 20.0, atol=0.01)
 
 
+@pytest.mark.slow
 def test_style_stage_training_step():
     """Stage-2 style training: style + identity losses with (random-weight)
     VGG through the full train step, stylizer-only updates."""
