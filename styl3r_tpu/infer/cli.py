@@ -122,7 +122,15 @@ def run_scene_inference(
     """The full single-scene flow (infer_model_re10k.py:262-560)."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    render_kwargs = render_kwargs or {}
+    render_kwargs = dict(render_kwargs or {})
+    # Full-size scenes need bounded caps, and on TPU the Pallas kernels:
+    # differentiating the pure-XLA compositor at 131k+ gaussians materializes
+    # tens of GB of scan intermediates (OOM on a 16G chip); the kernel VJP
+    # keeps pose alignment in-memory.
+    render_kwargs.setdefault("max_per_tile", 2048)
+    render_kwargs.setdefault("max_tiles_per_gaussian", 8)
+    if jax.default_backend() != "cpu":
+        render_kwargs.setdefault("impl", "pallas")
 
     # Condition cameras: baseline-1 + relative to context cam 0.
     extrinsics, scale, near, far = make_baseline_one(extrinsics, context_indices)
