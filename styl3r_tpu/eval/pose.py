@@ -192,7 +192,9 @@ def refine_pose_photometric(
     """200-step Adam on SE3 deltas through the renderer, mse + (1 - SSIM)
     structure term (pose_evaluator.py:84-147)."""
     from ..losses.ssim import ssim
+    from ..infer.pipeline import _default_render_kwargs
 
+    render_kwargs = _default_render_kwargs(render_kwargs)
     h, w = target_image.shape[:2]
     ext = init_c2w[None, None]
     intr = intrinsics[None, None]

@@ -26,6 +26,18 @@ from ..models.styl3r import Batch, Styl3rModel, normalize_images
 from ..utils.ply_export import export_ply
 
 
+def _default_render_kwargs(render_kwargs: dict) -> dict:
+    """Bounded caps + Pallas kernels on TPU: differentiating the pure-XLA
+    compositor at production gaussian counts OOMs a 16G chip (see
+    infer/cli.py); every pose-optimization loop shares these defaults."""
+    out = dict(render_kwargs)
+    out.setdefault("max_per_tile", 2048)
+    out.setdefault("max_tiles_per_gaussian", 8)
+    if jax.default_backend() != "cpu":
+        out.setdefault("impl", "pallas")
+    return out
+
+
 def align_target_poses(
     gaussians: Gaussians,
     target_extrinsics: Array,
@@ -44,6 +56,7 @@ def align_target_poses(
     extrinsics each step (reference test_step_align; deltas reset to zero after
     every update while Adam state persists)."""
     b, v = target_extrinsics.shape[:2]
+    render_kwargs = _default_render_kwargs(render_kwargs)
     if loss_fn is None:
         loss_fn = lambda out, batch_images: jnp.mean((out.color - batch_images) ** 2)
 
