@@ -1,0 +1,74 @@
+"""EvalHarness unit test: the test_step protocol (identity style, metrics,
+benchmark artifacts) at tiny dims."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styl3r_tpu.eval.harness import EvalHarness
+from styl3r_tpu.models.styl3r import Batch, Styl3rModel
+
+TINY = dict(enc_depth=2, dec_depth=4, enc_dim=32, dec_dim=16, enc_heads=2, dec_heads=2)
+H = W = 32
+
+
+def test_eval_harness_protocol(tmp_path):
+    rng = np.random.default_rng(0)
+    model = Styl3rModel(sh_degree=0, **TINY)
+    k = np.asarray([[0.9, 0, 0.5], [0, 0.9, 0.5], [0, 0, 1.0]], np.float32)
+    batch = Batch(
+        context_images=jnp.asarray(rng.uniform(0, 1, (1, 2, H, W, 3)), jnp.float32),
+        context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (1, 2, 3, 3)),
+        target_extrinsics=jnp.eye(4)[None, None],
+        target_intrinsics=jnp.asarray(k)[None, None],
+        target_near=jnp.full((1, 1), 0.1),
+        target_far=jnp.full((1, 1), 100.0),
+        style_image=jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), jnp.float32),
+        target_images=jnp.asarray(rng.uniform(0, 1, (1, 1, H, W, 3)), jnp.float32),
+    )
+    params = model.init(jax.random.key(0), batch)
+
+    harness = EvalHarness(
+        model, params, image_shape=(H, W), output_path=tmp_path, save_images=True,
+        render_kwargs=dict(max_per_tile=256, max_tiles_per_gaussian=8),
+    )
+    metrics, output = harness.test_step(batch, scene="s0", overlap=0.2)
+    assert "psnr" in metrics and "ssim" in metrics
+    assert np.isfinite(metrics["psnr"])
+    assert output.color.shape == (1, 1, H, W, 3)
+
+    # Second scene in another bucket; finish() dumps artifacts.
+    harness.test_step(batch, scene="s1", overlap=0.9)
+    means = harness.finish()
+    assert "psnr/all" in means and "psnr/small" in means and "psnr/large" in means
+    assert (tmp_path / "scores.json").exists()
+    assert (tmp_path / "benchmark.json").exists()
+    bench = json.loads((tmp_path / "benchmark.json").read_text())
+    assert "encoder" in bench and "decoder" in bench
+    assert (tmp_path / "images" / "s0" / "0000.png").exists()
+
+
+def test_eval_harness_pose_align(tmp_path):
+    rng = np.random.default_rng(1)
+    model = Styl3rModel(sh_degree=0, **TINY)
+    k = np.asarray([[0.9, 0, 0.5], [0, 0.9, 0.5], [0, 0, 1.0]], np.float32)
+    batch = Batch(
+        context_images=jnp.asarray(rng.uniform(0, 1, (1, 2, H, W, 3)), jnp.float32),
+        context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (1, 2, 3, 3)),
+        target_extrinsics=jnp.eye(4)[None, None],
+        target_intrinsics=jnp.asarray(k)[None, None],
+        target_near=jnp.full((1, 1), 0.1),
+        target_far=jnp.full((1, 1), 100.0),
+        style_image=jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), jnp.float32),
+        target_images=jnp.asarray(rng.uniform(0, 1, (1, 1, H, W, 3)), jnp.float32),
+    )
+    params = model.init(jax.random.key(0), batch)
+    harness = EvalHarness(
+        model, params, image_shape=(H, W), align_pose=True, pose_align_steps=2,
+        render_kwargs=dict(max_per_tile=256, max_tiles_per_gaussian=8),
+    )
+    metrics, _ = harness.test_step(batch, scene="s0")
+    assert np.isfinite(metrics["psnr"])
+    assert "optimize" in harness.benchmarker.execution_times
