@@ -49,16 +49,33 @@ def make_optimizer(
     weight_decay: float = 0.05,
     grad_clip: float = 0.5,
     trainable_mask: Optional[Any] = None,
+    params: Optional[Any] = None,
+    backbone_lr_multiplier: float = 1.0,
 ) -> optax.GradientTransformation:
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(
-            make_schedule(lr, warmup_steps, total_steps),
-            b1=0.9,
-            b2=0.95,
-            weight_decay=weight_decay,
-        ),
-    )
+    """Stage-1 optimizer. With `backbone_lr_multiplier` != 1 (reference
+    stage-1 configs train the CroCo backbone at 0.1x lr,
+    re10k_3view_style_8x8.yaml optimizer block) the backbone subtree gets its
+    own schedule; requires `params` for the label pytree."""
+
+    def group(lr_scale):
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(
+                make_schedule(lr * lr_scale, warmup_steps, total_steps),
+                b1=0.9,
+                b2=0.95,
+                weight_decay=weight_decay,
+            ),
+        )
+
+    if backbone_lr_multiplier != 1.0:
+        if params is None:
+            raise ValueError("backbone_lr_multiplier requires params")
+        labels = backbone_param_labels(params)
+        return optax.multi_transform(
+            {"backbone": group(backbone_lr_multiplier), "rest": group(1.0)}, labels
+        )
+    tx = group(1.0)
     if trainable_mask is not None:
         # Freeze masked-out params (the stage-2 style training freezes
         # everything except the stylizer decoder + appearance head;
@@ -68,6 +85,21 @@ def make_optimizer(
             jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask),
         )
     return tx
+
+
+def backbone_param_labels(params) -> dict:
+    """Label pytree for the stage-1 backbone lr group: 'backbone' for the
+    CroCo trunk, 'rest' for heads/stylizer (reference configure_optimizers
+    new_params/pretrained split, model_wrapper_style.py:898-916)."""
+
+    def label_path(path, _):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        top = keys[0] if keys else ""
+        if top == "params" and len(keys) > 1:
+            top = keys[1]
+        return "backbone" if top == "backbone" else "rest"
+
+    return jax.tree_util.tree_map_with_path(label_path, params)
 
 
 def create_train_state(
