@@ -57,12 +57,37 @@ def main(argv=None):
     params = load_params(args.checkpoint, model, example_batch)
 
     render_kwargs = dict(max_per_tile=512, max_tiles_per_gaussian=8) if args.tiny else {}
+    render_kwargs["scale_invariant"] = cfg.model.decoder.make_scale_invariant
     if jax.default_backend() != "cpu":
         render_kwargs.setdefault("impl", "pallas")
+
+    # LPIPS is part of the headline eval protocol (model_wrapper_style.py:399)
+    # — construct it whenever weights are configured.
+    lpips_apply = None
+    if cfg.losses.lpips_weights and cfg.losses.lpips_vgg16_weights:
+        from styl3r_tpu.losses.lpips import LPIPSVgg16
+        from styl3r_tpu.losses.lpips import convert_lpips_state
+        from styl3r_tpu.utils.checkpoint import load_torch_state_dict
+
+        lpips_params = jax.tree.map(
+            jnp.asarray,
+            convert_lpips_state(
+                load_torch_state_dict(cfg.losses.lpips_weights),
+                load_torch_state_dict(cfg.losses.lpips_vgg16_weights),
+            ),
+        )
+        lpips_model = LPIPSVgg16()
+        lpips_apply = jax.jit(lambda x, y: lpips_model.apply(lpips_params, x, y))
+        print("LPIPS enabled")
+    else:
+        print("LPIPS weights not configured (losses.lpips_weights + "
+              "losses.lpips_vgg16_weights) — scores.json will omit lpips")
+
     harness = EvalHarness(
         model, params, image_shape=(h, w),
         align_pose=cfg.test.align_pose, pose_align_steps=cfg.test.pose_align_steps,
         rot_opt_lr=cfg.test.rot_opt_lr, trans_opt_lr=cfg.test.trans_opt_lr,
+        lpips_apply=lpips_apply,
         output_path=Path(cfg.test.output_path), save_images=cfg.test.save_image,
         render_kwargs=render_kwargs,
     )

@@ -85,11 +85,17 @@ class Styl3rModel:
         global_step: Array | int = 0,
         deterministic: bool = True,
         rngs: Optional[Dict] = None,
+        return_aux: bool = False,
         **render_kwargs,
-    ) -> Tuple[Gaussians, DecoderOutput]:
-        gaussians = self.predict_gaussians(
-            params, batch, global_step, deterministic, rngs=rngs
+    ):
+        """Predict + render. With return_aux, also returns the encoder's aux
+        dict (per-view pts3d/depths — the reference's visualization_dump used
+        by the distillation loss, model_wrapper_style.py:234-242)."""
+        out = self.predict_gaussians(
+            params, batch, global_step, deterministic, return_aux=return_aux,
+            rngs=rngs,
         )
+        gaussians, aux = out if return_aux else (out, None)
         output = render_gaussians(
             gaussians,
             batch.target_extrinsics,
@@ -99,4 +105,6 @@ class Styl3rModel:
             image_shape,
             **render_kwargs,
         )
+        if return_aux:
+            return gaussians, output, aux
         return gaussians, output

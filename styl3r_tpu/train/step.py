@@ -113,6 +113,19 @@ def create_train_state(
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)), tx
 
 
+class DistillCfg(NamedTuple):
+    """Distillation settings (reference model_wrapper_style.py:95-100 +
+    config/main.yaml train block): a frozen DUSt3R/MASt3R teacher provides
+    pseudo-GT point maps; Regr3D(norm_mode=None) on the encoder's per-view
+    pts3d, weighted (reference: x0.1) and gated by distill_max_steps."""
+
+    teacher: Any  # Dust3RTeacher module (params passed to the step)
+    weight: float = 0.1
+    max_steps: int = 1_000_000
+    conf_threshold: float = 3.0
+    distill_only: bool = False  # skip render + photometric losses entirely
+
+
 def make_train_step(
     model: Styl3rModel,
     tx: optax.GradientTransformation,
@@ -120,6 +133,7 @@ def make_train_step(
     loss_fn: Optional[Callable] = None,
     stylized: bool = True,
     identity_branch: bool = False,
+    distill: Optional[DistillCfg] = None,
     **render_kwargs,
 ):
     """Build the jittable train step.
@@ -129,6 +143,11 @@ def make_train_step(
     stylized=False (stage-1 NVS pretraining) replaces the style image with
     context view 0 (model_wrapper_style.py:149-155); identity_branch adds a
     second forward with style := context view 0 (:216-231).
+
+    With `distill`, the returned step takes an extra `teacher_params` argument
+    (kept out of the closure so the frozen ViT-L teacher isn't baked into the
+    executable as constants) and adds the Regr3D distillation term
+    (model_wrapper_style.py:157-171, :234-242).
     """
 
     if loss_fn is None:
@@ -137,20 +156,50 @@ def make_train_step(
             mse = jnp.mean((output.color - batch.target_images) ** 2)
             return mse, {"mse": mse}
 
-    def train_step(state: TrainState, batch, rng: Array):
+    def distill_loss(params_aux_pts, batch, teacher_params, global_step):
+        from ..losses.regr3d import regr3d_loss
+        from ..models.styl3r import normalize_images
+
+        teacher_in = normalize_images(batch.context_images[:, :2])
+        pseudo = jax.lax.stop_gradient(
+            distill.teacher.apply(teacher_params, teacher_in)
+        )
+        raw = regr3d_loss(
+            pseudo["pts3d_1"], pseudo["pts3d_2"],
+            params_aux_pts[:, 0], params_aux_pts[:, 1],
+            conf1=pseudo["conf_1"], conf2=pseudo["conf_2"],
+            conf_threshold=distill.conf_threshold,
+            normalize=False,
+        )
+        gate = (jnp.asarray(global_step) <= distill.max_steps).astype(jnp.float32)
+        return distill.weight * gate * raw
+
+    def train_step(state: TrainState, batch, rng: Array, teacher_params=None):
         if not stylized:
             batch = batch._replace(style_image=batch.context_images[:, 0])
 
         def compute_loss(params):
-            gaussians, output = model.forward(
+            if distill is not None and distill.distill_only:
+                # Stage-0 distillation pretraining: encoder only, no render
+                # (model_wrapper_style.py:157-171).
+                _, aux = model.predict_gaussians(
+                    params, batch, global_step=state.step, deterministic=False,
+                    return_aux=True, rngs={"dropout": rng},
+                )
+                l = distill_loss(aux["pts3d"], batch, teacher_params, state.step)
+                return l, {"distill": l}
+
+            fwd = model.forward(
                 params,
                 batch,
                 image_shape,
                 global_step=state.step,
                 deterministic=False,
                 rngs={"dropout": rng},
+                return_aux=distill is not None,
                 **render_kwargs,
             )
+            gaussians, output = fwd[0], fwd[1]
             identity_output = None
             if identity_branch:
                 id_batch = batch._replace(style_image=batch.context_images[:, 0])
@@ -163,10 +212,15 @@ def make_train_step(
                     rngs={"dropout": rng},
                     **render_kwargs,
                 )
-            return loss_fn(
+            loss, metrics = loss_fn(
                 output, batch, gaussians, global_step=state.step,
                 identity_output=identity_output,
             )
+            if distill is not None:
+                l = distill_loss(fwd[2]["pts3d"], batch, teacher_params, state.step)
+                loss = loss + l
+                metrics = dict(metrics, distill=l)
+            return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
@@ -176,6 +230,9 @@ def make_train_step(
         metrics = dict(metrics, loss=loss, grad_norm=optax.global_norm(grads))
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if distill is None:
+        # Keep the historical 3-arg signature for non-distill callers.
+        return lambda state, batch, rng: train_step(state, batch, rng)
     return train_step
 
 

@@ -26,6 +26,7 @@ import optax
 from ..data import DatasetConfig, RE10kStyleDataset, make_view_sampler
 from ..data.dataset import batch_iterator
 from ..eval.metrics import compute_psnr, compute_ssim
+from ..models.decoder import render_gaussians
 from ..models.styl3r import Batch, Styl3rModel
 from ..parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
 from ..utils.config import RootCfg
@@ -168,25 +169,121 @@ def endless_batches(make_iter, n_datasets: int) -> Iterator:
 
 
 class Trainer:
-    def __init__(self, cfg: RootCfg, loss_bundle: Optional[LossBundle] = None):
+    def __init__(
+        self,
+        cfg: RootCfg,
+        loss_bundle: Optional[LossBundle] = None,
+        teacher=None,
+        model: Optional[Styl3rModel] = None,
+    ):
         self.cfg = cfg
-        self.model = Styl3rModel(
+        self.model = model or Styl3rModel(
             sh_degree=cfg.model.encoder.sh_degree,
             backbone_dtype=jnp.bfloat16
             if cfg.model.encoder.backbone_dtype == "bfloat16"
             else jnp.float32,
         )
-        self.loss_bundle = loss_bundle or LossBundle(
+        self.loss_bundle = loss_bundle or self._build_loss_bundle(cfg)
+        self.distill, self.teacher_params = self._build_distiller(cfg, teacher)
+        self.mesh = make_mesh()
+        self.output_dir = Path(cfg.checkpointing.output_dir)
+        self.logger = LocalLogger(self.output_dir)
+        self._global_step = 0
+
+    def _build_loss_bundle(self, cfg: RootCfg) -> LossBundle:
+        """Assemble the loss set with real perceptual-net weights when paths
+        are configured (reference get_losses + the torchvision/lpips weights
+        it implicitly downloads). Without paths, the nets are randomly
+        initialized with a loud warning so the training path stays launchable
+        in weightless environments (the loss is then not the reference loss)."""
+        vgg_params = None
+        if bool(cfg.losses.style) or cfg.losses.identity:
+            from ..losses.vgg import VGG19Features, convert_torchvision_vgg19
+
+            if cfg.losses.vgg19_weights:
+                from ..utils.checkpoint import load_torch_state_dict
+
+                vgg_params = convert_torchvision_vgg19(
+                    load_torch_state_dict(cfg.losses.vgg19_weights)
+                )
+            else:
+                print(
+                    "WARNING: style/identity loss configured without "
+                    "losses.vgg19_weights — using a RANDOMLY INITIALIZED "
+                    "VGG19 (not the reference loss)."
+                )
+                vgg_params = VGG19Features().init(
+                    jax.random.key(0), jnp.zeros((1, 64, 64, 3))
+                )
+        lpips_params = None
+        if cfg.losses.lpips:
+            from ..losses.lpips import LPIPSVgg16, convert_lpips_state
+
+            if cfg.losses.lpips_weights and cfg.losses.lpips_vgg16_weights:
+                from ..utils.checkpoint import load_torch_state_dict
+
+                lpips_params = convert_lpips_state(
+                    load_torch_state_dict(cfg.losses.lpips_weights),
+                    load_torch_state_dict(cfg.losses.lpips_vgg16_weights),
+                )
+            else:
+                print(
+                    "WARNING: lpips loss configured without losses.lpips_weights"
+                    " + losses.lpips_vgg16_weights — using a RANDOMLY "
+                    "INITIALIZED LPIPS net (not the reference loss)."
+                )
+                lpips_params = LPIPSVgg16().init(
+                    jax.random.key(1),
+                    jnp.zeros((1, 64, 64, 3)),
+                    jnp.zeros((1, 64, 64, 3)),
+                )
+        return LossBundle(
             mse_weight=cfg.losses.mse,
             lpips_weight=cfg.losses.lpips,
             lpips_apply_after_step=cfg.losses.lpips_apply_after_step,
             style_weight=cfg.losses.style,
             identity=cfg.losses.identity,
+            vgg19_params=vgg_params,
+            lpips_params=lpips_params,
         )
-        self.mesh = make_mesh()
-        self.output_dir = Path(cfg.checkpointing.output_dir)
-        self.logger = LocalLogger(self.output_dir)
-        self._global_step = 0
+
+    def _build_distiller(self, cfg: RootCfg, teacher):
+        """Frozen DUSt3R/MASt3R teacher + DistillCfg when configured
+        (main_style.py:122-125 get_distiller + model_wrapper_style.py:95-100).
+        `teacher` may be injected (tests use tiny dims); weights load from
+        cfg.train.distiller, else random init with a warning."""
+        from .step import DistillCfg
+
+        enabled = bool(cfg.train.distiller) or bool(cfg.losses.distill) or (
+            teacher is not None
+        )
+        if not enabled:
+            return None, None
+        if teacher is None:
+            from ..models.distiller import Dust3RTeacher
+
+            teacher = Dust3RTeacher()
+        teacher_params = None
+        if cfg.train.distiller:
+            from ..models.distiller import convert_dust3r_checkpoint
+            from ..utils.checkpoint import load_torch_state_dict
+
+            teacher_params = jax.tree.map(
+                jnp.asarray,
+                convert_dust3r_checkpoint(load_torch_state_dict(cfg.train.distiller)),
+            )
+        else:
+            print(
+                "WARNING: distillation enabled without train.distiller weights"
+                " — teacher will be RANDOMLY INITIALIZED (pseudo-GT is noise)."
+            )
+        distill = DistillCfg(
+            teacher=teacher,
+            weight=cfg.losses.distill or 0.1,
+            max_steps=cfg.train.distill_max_steps,
+            distill_only=cfg.train.distill_only,
+        )
+        return distill, teacher_params
 
     # -- checkpointing ----------------------------------------------------
 
@@ -205,6 +302,14 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(Path(path).absolute(), target=jax.device_get(like))
 
+    def load_params_lazy(self, path: Path):
+        """Restore a params pytree without a target template (own-format
+        orbax checkpoints saved by save_checkpoint)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(Path(path).absolute())
+
     # -- training ---------------------------------------------------------
 
     def fit(
@@ -212,7 +317,16 @@ class Trainer:
         max_steps: Optional[int] = None,
         init_params=None,
         batches: Optional[Iterator] = None,
+        warm_start=None,
+        val_batches: Optional[Iterator] = None,
     ) -> TrainState:
+        """Training loop: jitted sharded steps + validation every
+        `train.val_every_n_steps` (metrics, comparison grid, trajectory strip
+        — the reference's validation_step cadence, model_wrapper_style.py:471-629)
+        + periodic checkpoints.
+
+        `warm_start` is a (possibly partial) converted params tree merged over
+        the model init (torch load_state_dict(strict=False) equivalent)."""
         cfg = self.cfg
         max_steps = max_steps or cfg.optimizer.total_steps
         stylized = bool(cfg.losses.style) or cfg.losses.identity
@@ -229,6 +343,16 @@ class Trainer:
         first = next(batches)
         first = Batch(*[jnp.asarray(x) for x in first])
 
+        if warm_start is not None:
+            from ..utils.checkpoint import merge_params
+
+            base = (
+                init_params
+                if init_params is not None
+                else self.model.init(jax.random.key(cfg.seed), first)
+            )
+            init_params = merge_params(base, jax.tree.map(jnp.asarray, warm_start))
+
         if cfg.optimizer.train_stylizer_only:
             if init_params is None:
                 init_params = self.model.init(jax.random.key(cfg.seed), first)
@@ -242,12 +366,16 @@ class Trainer:
                 params=init_params,
             )
         else:
+            if cfg.optimizer.backbone_lr_multiplier != 1.0 and init_params is None:
+                init_params = self.model.init(jax.random.key(cfg.seed), first)
             tx = make_optimizer(
                 lr=cfg.optimizer.lr,
                 warmup_steps=cfg.optimizer.warm_up_steps,
                 total_steps=max_steps,
                 weight_decay=cfg.optimizer.weight_decay,
                 grad_clip=cfg.optimizer.grad_clip,
+                params=init_params,
+                backbone_lr_multiplier=cfg.optimizer.backbone_lr_multiplier,
             )
 
         if init_params is None:
@@ -262,6 +390,13 @@ class Trainer:
         impl = cfg.model.decoder.impl
         if impl == "auto":
             impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
+        self._render_kwargs = dict(
+            max_per_tile=cfg.model.decoder.max_per_tile,
+            max_tiles_per_gaussian=cfg.model.decoder.max_tiles_per_gaussian,
+            scale_invariant=cfg.model.decoder.make_scale_invariant,
+            background_color=jnp.asarray(cfg.model.decoder.background_color, jnp.float32),
+            impl=impl,
+        )
         step_fn = make_train_step(
             self.model,
             tx,
@@ -269,15 +404,28 @@ class Trainer:
             loss_fn=self.loss_bundle,
             stylized=stylized,
             identity_branch=self.loss_bundle.needs_identity_branch(),
-            max_per_tile=cfg.model.decoder.max_per_tile,
-            max_tiles_per_gaussian=cfg.model.decoder.max_tiles_per_gaussian,
-            impl=impl,
+            distill=self.distill,
+            **self._render_kwargs,
         )
         repl = replicated_sharding(self.mesh)
         bshard = batch_sharding(self.mesh)
-        step_fn = jax.jit(
-            step_fn, in_shardings=(repl, bshard, repl), out_shardings=(repl, repl)
-        )
+        teacher_params = None
+        if self.distill is not None:
+            teacher_params = self.teacher_params
+            if teacher_params is None:
+                teacher_params = self.distill.teacher.init(
+                    jax.random.key(2), jnp.zeros((1, 2, h, w, 3))
+                )
+            teacher_params = jax.device_put(teacher_params, repl)
+            step_fn = jax.jit(
+                step_fn,
+                in_shardings=(repl, bshard, repl, repl),
+                out_shardings=(repl, repl),
+            )
+        else:
+            step_fn = jax.jit(
+                step_fn, in_shardings=(repl, bshard, repl), out_shardings=(repl, repl)
+            )
 
         state = jax.device_put(state, repl)
         rng = jax.random.key(cfg.train.seed + 1)
@@ -286,7 +434,10 @@ class Trainer:
         for i in range(max_steps):
             rng, step_rng = jax.random.split(rng)
             sharded = shard_batch(batch, self.mesh)
-            state, metrics = step_fn(state, sharded, jax.device_put(step_rng, repl))
+            step_args = (state, sharded, jax.device_put(step_rng, repl))
+            if self.distill is not None:
+                step_args += (teacher_params,)
+            state, metrics = step_fn(*step_args)
             self._global_step = i + 1
 
             if (i + 1) % cfg.train.log_every_n_steps == 0:
@@ -302,6 +453,18 @@ class Trainer:
                     flush=True,
                 )
 
+            if (i + 1) % cfg.train.val_every_n_steps == 0 and not (
+                self.distill is not None and self.distill.distill_only
+            ):
+                val_batch = (
+                    Batch(*[jnp.asarray(x) for x in next(val_batches)])
+                    if val_batches is not None
+                    else batch
+                )
+                self.validate(
+                    jax.device_get(state), val_batch, stylized=stylized
+                )
+
             if (i + 1) % cfg.checkpointing.every_n_train_steps == 0:
                 self.save_checkpoint(state)
 
@@ -312,12 +475,27 @@ class Trainer:
 
     # -- validation -------------------------------------------------------
 
-    def validate(self, state: TrainState, batch: Batch) -> Dict[str, float]:
+    def validate(
+        self,
+        state: TrainState,
+        batch: Batch,
+        stylized: bool = False,
+        n_trajectory_frames: int = 4,
+    ) -> Dict[str, float]:
+        """Validation pass (reference validation_step,
+        model_wrapper_style.py:471-629): PSNR/SSIM scalars, a side-by-side
+        comparison grid, a short interpolated-trajectory strip, and (when an
+        AdaIN checkpoint is configured) the 2-D AdaIN stylization baseline."""
         h, w = batch.context_images.shape[2:4]
-        gaussians, output = self.model.forward(
-            state.params, batch, (h, w),
+        render_kwargs = getattr(self, "_render_kwargs", None) or dict(
             max_per_tile=self.cfg.model.decoder.max_per_tile,
             max_tiles_per_gaussian=self.cfg.model.decoder.max_tiles_per_gaussian,
+            scale_invariant=self.cfg.model.decoder.make_scale_invariant,
+        )
+        if not stylized:
+            batch = batch._replace(style_image=batch.context_images[:, 0])
+        gaussians, output = self.model.forward(
+            state.params, batch, (h, w), **render_kwargs
         )
         b, v = output.color.shape[:2]
         pred = output.color.reshape(b * v, h, w, 3)
@@ -330,4 +508,51 @@ class Trainer:
             [np.asarray(pred[0]), np.asarray(gt[0])], axis=1
         )
         self.logger.log_image(step, "val_comparison", side_by_side)
+
+        # Short interpolated camera trajectory between the first two targets
+        # (stand-in for the reference's wobble/interpolation videos, :544-629).
+        if batch.target_extrinsics.shape[1] >= 2 and n_trajectory_frames > 0:
+            from ..infer.trajectory import interpolate_extrinsics, interpolate_intrinsics
+
+            t = np.linspace(0.0, 1.0, n_trajectory_frames)
+            ext = interpolate_extrinsics(
+                np.asarray(batch.target_extrinsics[0, 0]),
+                np.asarray(batch.target_extrinsics[0, 1]),
+                t,
+            )[None]
+            intr = interpolate_intrinsics(
+                np.asarray(batch.target_intrinsics[0, 0]),
+                np.asarray(batch.target_intrinsics[0, 1]),
+                t,
+            )[None]
+            traj = render_gaussians(
+                jax.tree.map(lambda x: x[:1], gaussians),
+                jnp.asarray(ext),
+                jnp.asarray(intr),
+                jnp.broadcast_to(batch.target_near[:1, :1], (1, len(t))),
+                jnp.broadcast_to(batch.target_far[:1, :1], (1, len(t))),
+                (h, w),
+                **render_kwargs,
+            )
+            strip = np.concatenate(list(np.asarray(traj.color[0])), axis=1)
+            self.logger.log_image(step, "val_trajectory", strip)
+
+        # AdaIN 2-D stylization baseline (model_wrapper_style.py:260-308).
+        if stylized and self.cfg.train.adain_baseline_weights:
+            from ..models.stylizers import AdaIN2D, convert_adain2d_checkpoint
+            from ..utils.checkpoint import load_torch_state_dict
+
+            if not hasattr(self, "_adain_params"):
+                self._adain_params = jax.tree.map(
+                    jnp.asarray,
+                    convert_adain2d_checkpoint(
+                        load_torch_state_dict(self.cfg.train.adain_baseline_weights)
+                    ),
+                )
+            baseline = AdaIN2D().apply(
+                self._adain_params, batch.context_images[:1, 0],
+                batch.style_image[:1],
+            )
+            self.logger.log_image(step, "val_adain_baseline", np.asarray(baseline[0]))
+
         return {"psnr": psnr, "ssim": ssim_val}

@@ -253,6 +253,94 @@ def split_noposplat_gs_head(
     return {"structure": structure, "appearance": appearance}
 
 
+def merge_params(base, partial):
+    """Deep-merge a partial converted pytree over a model-initialized one:
+    the functional equivalent of torch `load_state_dict(strict=False)` used
+    throughout the reference warm-starts (main_style.py:128-168). Leaves
+    present in `partial` win; everything else keeps its init value."""
+    if isinstance(base, Mapping) and isinstance(partial, Mapping):
+        out = dict(base)
+        for k, v in partial.items():
+            out[k] = merge_params(base[k], v) if k in base else v
+        return out
+    return partial
+
+
+def convert_noposplat_encoder(state_dict: Mapping, sh_degree: int = 0) -> Dict:
+    """NoPoSplat release `.ckpt` -> partial Styl3rEncoder params for the
+    stage-2 style warm start (main_style.py:136-152): backbone + pts3d heads
+    load directly; each gaussian_param_head keeps only its structure rows
+    (last conv rows [:-3*d_sh]); the appearance head is seeded from the view-0
+    gs head with only the SH rows ([-3*d_sh:]) of the last conv swapped in
+    (the trunk copies over wholesale, like the reference's strict=False
+    load onto gaussian_appearance_head)."""
+    sd = {k[len("encoder."):]: v for k, v in state_dict.items() if k.startswith("encoder.")}
+    dsh = (sh_degree + 1) ** 2
+    params = {
+        "backbone": convert_backbone(sd, "backbone"),
+        "head1": convert_pts3d_head(sd, "downstream_head1"),
+        "head2": convert_pts3d_head(sd, "downstream_head2"),
+    }
+    for name in ("gaussian_param_head", "gaussian_param_head2"):
+        split = split_noposplat_gs_head(state_dict, dsh, prefix=f"encoder.{name}.")
+        params[name] = convert_gs_head(
+            {f"h.{k}": v for k, v in split["structure"].items()}, "h", True
+        )
+    split0 = split_noposplat_gs_head(
+        state_dict, dsh, prefix="encoder.gaussian_param_head."
+    )
+    params["gaussian_appearance_head"] = convert_gs_head(
+        {f"h.{k}": v for k, v in split0["appearance"].items()}, "h", False
+    )
+    return {"params": params}
+
+
+def convert_mast3r_backbone(state_dict: Mapping, patch_size: Optional[int] = None) -> Dict:
+    """Raw MASt3R/DUSt3R `model` dict -> partial params covering only the
+    CroCo backbone trunk (reference checkpoint_filter_fn + strict=False load,
+    main_style.py:130-135 / weight_modify.py:144-184). Heads keep their init.
+    With `patch_size` given, the patch-embed kernel is FlexiViT-resampled when
+    the checkpoint's patch size differs."""
+    wrapped = {f"backbone.{k}": v for k, v in state_dict.items()}
+    params = convert_backbone(wrapped, "backbone")
+    if patch_size is not None:
+        kernel = params["encoder"]["patch_embed"]["proj"]["kernel"]
+        if kernel.shape[0] != patch_size:
+            params["encoder"]["patch_embed"]["proj"]["kernel"] = (
+                resample_patch_embed_kernel(kernel, (patch_size, patch_size))
+            )
+    return {"params": {"backbone": params}}
+
+
+def convert_stylizer_weights(state_dict: Mapping) -> Dict:
+    """Token-stylizer warm start (main_style.py:156-168): a raw MASt3R
+    `model` dict seeds the stylizer's encoder AND decoder; a NoPoSplat
+    Lightning ckpt seeds only the stylizer encoder from `encoder.backbone.*`
+    (the reference filters to enc/mask_token/patch_embed keys there)."""
+    if any(k.startswith("encoder.backbone.") for k in state_dict):
+        sd = {
+            f"s.{k[len('encoder.backbone.'):]}": v
+            for k, v in state_dict.items()
+            if k.startswith("encoder.backbone.")
+        }
+        return {"params": {"token_stylizer": {"encoder": _vit_encoder(sd, "s")}}}
+    wrapped = {f"s.{k}": v for k, v in state_dict.items()}
+    return {"params": {"token_stylizer": convert_token_stylizer(wrapped, "s")}}
+
+
+def warm_start_encoder_params(state_dict: Mapping, sh_degree: int = 0) -> Dict:
+    """Dispatch on checkpoint flavor like the reference warm-start block
+    (main_style.py:128-155): full Styl3R ckpt -> complete params; NoPoSplat
+    ckpt -> backbone+heads with the gs-head row split; raw MASt3R `model`
+    dict -> backbone only. Returns a (possibly partial) {'params': ...} tree
+    for merge_params over model.init output."""
+    if any(k.startswith("encoder.token_stylizer.") for k in state_dict):
+        return convert_styl3r_encoder(state_dict)
+    if any(k.startswith("encoder.") for k in state_dict):
+        return convert_noposplat_encoder(state_dict, sh_degree)
+    return convert_mast3r_backbone(state_dict)
+
+
 def _resize_bilinear_half_pixel(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """Simple bilinear resize (half-pixel centers, matching jax.image.resize)."""
     ys = (np.arange(h) + 0.5) * img.shape[0] / h - 0.5

@@ -56,6 +56,14 @@ class LossCfg:
     lpips_apply_after_step: int = 0
     style: Optional[float] = None  # style stats weight (reference: 10.0)
     identity: bool = False
+    distill: Optional[float] = None  # Regr3D distillation weight (reference: 0.1)
+    # Perceptual-net weight paths (torch state dicts, converted on load).
+    # style/identity need vgg19; lpips needs the lpips lin weights + vgg16.
+    # Empty paths fall back to random init with a loud warning so training
+    # stays launchable in weightless environments.
+    vgg19_weights: str = ""
+    lpips_weights: str = ""
+    lpips_vgg16_weights: str = ""
 
 
 @dataclass
@@ -95,6 +103,9 @@ class OptimizerCfg:
     total_steps: int = 15_000
     weight_decay: float = 0.05
     grad_clip: float = 0.5
+    # Stage-1: the CroCo backbone trains at a reduced lr
+    # (reference re10k_3view_style_8x8.yaml optimizer block: 0.1).
+    backbone_lr_multiplier: float = 1.0
     # stage-2 style training: freeze everything except stylizer + appearance
     # head; the stylizer encoder trains at lr * pretrained_scale.
     train_stylizer_only: bool = False
@@ -105,10 +116,18 @@ class OptimizerCfg:
 class TrainCfg:
     batch_size: int = 2
     identity_loss: bool = False
-    distill: bool = False
+    # Distillation (reference config/main.yaml train block): path to the
+    # frozen DUSt3R/MASt3R teacher weights enables it; distill_only skips the
+    # render/photometric losses (stage-0 pretraining).
+    distiller: str = ""
+    distill_max_steps: int = 1_000_000
+    distill_only: bool = False
     val_every_n_steps: int = 500
     log_every_n_steps: int = 10
     seed: int = 0
+    # Optional pretrained AdaIN ckpt: when set, validation logs the 2-D AdaIN
+    # stylization baseline image (model_wrapper_style.py:260-308).
+    adain_baseline_weights: str = ""
 
 
 @dataclass

@@ -343,3 +343,133 @@ def test_split_noposplat_gs_head():
     assert out["structure"]["dpt.head.4.weight"].shape == (7, 4)
     assert out["appearance"]["dpt.head.4.weight"].shape == (3, 4)
     np.testing.assert_array_equal(out["appearance"]["dpt.head.4.bias"], b[-3:])
+
+
+class TorchNoPoSplatEncoder(nn.Module):
+    """NoPoSplat release-shaped skeleton: no stylizer/appearance head; the gs
+    heads carry the FULL raw channel count (structure + SH) that the style
+    warm start must split (main_style.py:136-152)."""
+
+    def __init__(self):
+        super().__init__()
+        dims = (ENC_DIM, DEC_DIM, DEC_DIM, DEC_DIM)
+        self.backbone = TorchBackbone()
+        self.downstream_head1 = HeadWrap(TorchDPT(dims, 3, "regression"))
+        self.downstream_head2 = HeadWrap(TorchDPT(dims, 3, "regression"))
+        self.gaussian_param_head = HeadWrap(TorchDPT(dims, 8 + 3 * D_SH, "gs_params", merger=True))
+        self.gaussian_param_head2 = HeadWrap(TorchDPT(dims, 8 + 3 * D_SH, "gs_params", merger=True))
+
+
+@pytest.mark.slow
+def test_noposplat_warm_start_conversion_chain():
+    """Full stage-2 warm-start chain: NoPoSplat ckpt -> split + convert ->
+    merge over model init -> apply. Structure-head outputs must equal the
+    torch gs head's structure channels; the appearance head's last conv must
+    carry the SH rows; backbone/stylizer/appearance-init leaves come from the
+    right sources."""
+    from styl3r_tpu.utils.checkpoint import (
+        convert_noposplat_encoder,
+        merge_params,
+        warm_start_encoder_params,
+    )
+
+    tm = TorchNoPoSplatEncoder().eval()
+    sd = {f"encoder.{k}": v for k, v in tm.state_dict().items()}
+    partial = warm_start_encoder_params(sd, sh_degree=SH_DEGREE)
+    assert "token_stylizer" not in partial["params"]  # partial tree
+    assert set(partial["params"]) == {
+        "backbone", "head1", "head2",
+        "gaussian_param_head", "gaussian_param_head2", "gaussian_appearance_head",
+    }
+    # Last-conv split: structure rows vs SH rows, torch OIHW -> flax HWIO.
+    full_w = tm.gaussian_param_head.dpt.head[4].weight.detach().numpy()
+    conv2 = partial["params"]["gaussian_param_head"]["head"]["head_conv2"]["kernel"]
+    np.testing.assert_allclose(conv2, full_w[: -3 * D_SH].transpose(2, 3, 1, 0))
+    app2 = partial["params"]["gaussian_appearance_head"]["head"]["head_conv2"]["kernel"]
+    np.testing.assert_allclose(app2, full_w[-3 * D_SH :].transpose(2, 3, 1, 0))
+
+    jm = Styl3rEncoder(
+        sh_degree=SH_DEGREE, enc_depth=ENC_DEPTH, dec_depth=DEC_DEPTH,
+        enc_dim=ENC_DIM, dec_dim=DEC_DIM, enc_heads=HEADS, dec_heads=HEADS,
+        head_feature_dim=FDIM, head_last_dim=LAST, head_layer_dims=LAYER_DIMS,
+    )
+    rng = np.random.default_rng(3)
+    images = rng.uniform(-1, 1, (B, V, H, W, 3)).astype(np.float32)
+    intr = rng.normal(size=(B, V, 3, 3)).astype(np.float32)
+    style = rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)
+    init = jm.init(jax.random.key(0), jnp.asarray(images), jnp.asarray(intr), jnp.asarray(style))
+    params = jax.tree.map(jnp.asarray, merge_params(init, partial))
+
+    g, aux = jm.apply(
+        params, jnp.asarray(images), jnp.asarray(intr), jnp.asarray(style),
+        return_aux=True,
+    )
+    assert bool(jnp.isfinite(g.means).all()) and bool(jnp.isfinite(g.harmonics).all())
+
+    # pts3d heads loaded -> parity with the torch heads.
+    with torch.no_grad():
+        _, _, dec_feat = tm.backbone(
+            torch.from_numpy(images).permute(0, 1, 4, 2, 3), torch.from_numpy(intr)
+        )
+        nh, nw = H // 16, W // 16
+        t_pts0 = tm.downstream_head1.dpt([t[:, 0] for t in dec_feat], nh, nw)
+        t_gs0 = tm.gaussian_param_head.dpt(
+            [t[:, 0] for t in dec_feat], nh, nw,
+            imgs=torch.from_numpy(images).permute(0, 1, 4, 2, 3)[:, 0],
+        )
+    np.testing.assert_allclose(aux["pts3d"][:, 0], t_pts0.numpy(), atol=1e-4)
+    # Structure-head parity: opacity channel (raw ch 0 -> sigmoid -> density).
+    dens0 = torch.sigmoid(t_gs0[..., 0]).numpy().reshape(B, -1)
+    np.testing.assert_allclose(
+        np.asarray(aux["densities"][:, 0]).reshape(B, -1), dens0, atol=1e-4
+    )
+
+    # convert_noposplat_encoder is the dispatch target for this flavor.
+    direct = convert_noposplat_encoder(sd, SH_DEGREE)
+    assert set(direct["params"]) == set(partial["params"])
+
+
+def test_warm_start_dispatch_and_stylizer_conversion():
+    from styl3r_tpu.utils.checkpoint import (
+        convert_stylizer_weights,
+        convert_token_stylizer,
+        merge_params,
+        warm_start_encoder_params,
+    )
+
+    # Full Styl3R ckpt -> complete tree (token_stylizer present).
+    tm = TorchStyl3rEncoder()
+    sd_full = {f"encoder.{k}": v for k, v in tm.state_dict().items()}
+    full = warm_start_encoder_params(sd_full, SH_DEGREE)
+    assert "token_stylizer" in full["params"]
+
+    # Raw MASt3R 'model' dict (no prefix) -> backbone only.
+    mast3r_sd = {
+        k[len("backbone."):]: v
+        for k, v in tm.backbone.state_dict(prefix="backbone.").items()
+    }
+    bb = warm_start_encoder_params(mast3r_sd, SH_DEGREE)
+    assert set(bb["params"]) == {"backbone"}
+    assert "dec_blocks2_0" in bb["params"]["backbone"]
+
+    # Stylizer from raw MASt3R: encoder AND decoder subtrees.
+    sty_skel = TorchTokenStylizerSkel()
+    sty = convert_stylizer_weights(sty_skel.state_dict())
+    expect = convert_token_stylizer(
+        {f"token_stylizer.{k}": v for k, v in sty_skel.state_dict().items()}
+    )
+    got_leaves = jax.tree_util.tree_leaves(sty["params"]["token_stylizer"])
+    exp_leaves = jax.tree_util.tree_leaves(expect)
+    assert len(got_leaves) == len(exp_leaves)
+    for a, b in zip(got_leaves, exp_leaves):
+        np.testing.assert_array_equal(a, b)
+
+    # Stylizer from a NoPoSplat Lightning ckpt: encoder subtree only.
+    nps_sd = {f"encoder.backbone.{k}": v for k, v in sty_skel.state_dict().items()}
+    sty_enc = convert_stylizer_weights(nps_sd)
+    assert set(sty_enc["params"]["token_stylizer"]) == {"encoder"}
+
+    # merge_params: partial leaves win, others survive.
+    base = {"a": {"x": 1, "y": 2}, "b": 3}
+    out = merge_params(base, {"a": {"y": 20}})
+    assert out == {"a": {"x": 1, "y": 20}, "b": 3}

@@ -165,6 +165,115 @@ def test_style_stage_training_step():
     assert float(metrics["style"]) > 0 and float(metrics["identity"]) > 0
 
 
+@pytest.mark.slow
+def test_distillation_train_step():
+    """Distillation wiring (model_wrapper_style.py:234-242): frozen teacher
+    pseudo-GT -> Regr3D on the encoder's aux pts3d, weight 0.1, teacher params
+    untouched, and the step gate (distill_max_steps) zeroes it out."""
+    from styl3r_tpu.models.distiller import Dust3RTeacher
+    from styl3r_tpu.train.step import DistillCfg, TrainState
+
+    rng = np.random.default_rng(3)
+    model = Styl3rModel(sh_degree=0, **TINY)
+    teacher = Dust3RTeacher(
+        enc_depth=2, dec_depth=4, enc_dim=32, dec_dim=16, enc_heads=2, dec_heads=2,
+        head_feature_dim=16, head_last_dim=8, head_layer_dims=(8, 8, 16, 16),
+    )
+    batch = tiny_batch(rng)
+    params = model.init(jax.random.key(0), batch)
+    teacher_params = teacher.init(jax.random.key(1), jnp.zeros((B, 2, H, W, 3)))
+    tx = make_optimizer(lr=1e-4, warmup_steps=0, total_steps=10)
+    state = TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+    distill = DistillCfg(teacher=teacher, weight=0.1, max_steps=100)
+    step = jax.jit(
+        make_train_step(
+            model, tx, (H, W), stylized=False, distill=distill,
+            max_per_tile=256, max_tiles_per_gaussian=8,
+        )
+    )
+    new_state, metrics = step(state, batch, jax.random.key(2), teacher_params)
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert "distill" in metrics and float(metrics["distill"]) > 0
+    assert "mse" in metrics  # photometric loss still present
+
+    # Past distill_max_steps the term gates to zero.
+    late = state._replace(step=jnp.asarray(101, jnp.int32))
+    _, m_late = step(late, batch, jax.random.key(2), teacher_params)
+    assert float(m_late["distill"]) == 0.0
+
+    # distill_only: encoder-only step, no photometric term.
+    step_only = jax.jit(
+        make_train_step(
+            model, tx, (H, W), stylized=False,
+            distill=distill._replace(distill_only=True),
+        )
+    )
+    s2, m2 = step_only(state, batch, jax.random.key(2), teacher_params)
+    assert set(m2) == {"distill", "loss", "grad_norm"}
+    assert bool(jnp.isfinite(m2["loss"])) and float(m2["distill"]) > 0
+    # Teacher params are an input, not state: trivially frozen; student moved.
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+@pytest.mark.slow
+def test_trainer_stage2_launch_and_validation_cadence(tmp_path):
+    """VERDICT round-1 item 2/4: the stage-2 style config must be launchable
+    end-to-end (random VGG fallback) and fit() must run validation at
+    val_every_n_steps, producing comparison/trajectory PNGs."""
+    from styl3r_tpu.utils.config import load_config
+    from styl3r_tpu.train.trainer import Trainer
+
+    cfg = load_config(
+        "configs/experiment/re10k_3view_style.yaml",
+        [
+            f"checkpointing.output_dir={tmp_path}",
+            "train.batch_size=8",
+            "train.val_every_n_steps=2",
+            "train.log_every_n_steps=1",
+            "model.decoder.max_per_tile=128",
+            "model.decoder.max_tiles_per_gaussian=4",
+            "checkpointing.every_n_train_steps=100",
+        ],
+    )
+    assert cfg.losses.style == 10.0 and cfg.losses.identity
+    assert cfg.optimizer.train_stylizer_only
+
+    model = Styl3rModel(
+        sh_degree=0, enc_depth=1, dec_depth=2, enc_dim=32, dec_dim=16,
+        enc_heads=2, dec_heads=2, head_feature_dim=16, head_last_dim=16,
+        head_layer_dims=(8, 8, 16, 16),
+    )
+    trainer = Trainer(cfg, model=model)  # random-VGG warning path
+    rng = np.random.default_rng(5)
+
+    def batches():
+        while True:
+            k = np.asarray([[0.9, 0, 0.5], [0, 0.9, 0.5], [0, 0, 1.0]], np.float32)
+            ext = np.broadcast_to(np.eye(4, dtype=np.float32), (8, 2, 4, 4)).copy()
+            ext[:, 1:, 0, 3] = 0.1
+            yield Batch(
+                context_images=jnp.asarray(rng.uniform(0, 1, (8, 2, 16, 16, 3)), jnp.float32),
+                context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (8, 2, 3, 3)),
+                target_extrinsics=jnp.asarray(ext),
+                target_intrinsics=jnp.broadcast_to(jnp.asarray(k), (8, 2, 3, 3)),
+                target_near=jnp.full((8, 2), 0.5),
+                target_far=jnp.full((8, 2), 100.0),
+                style_image=jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 3)), jnp.float32),
+                target_images=jnp.asarray(rng.uniform(0.4, 0.6, (8, 2, 16, 16, 3)), jnp.float32),
+            )
+
+    state = trainer.fit(max_steps=2, batches=batches())
+    assert int(state.step) == 2
+    assert (tmp_path / "metrics.jsonl").exists()
+    comparisons = list((tmp_path / "val_comparison").glob("*.png"))
+    assert comparisons, "validation cadence produced no comparison image"
+    assert list((tmp_path / "val_trajectory").glob("*.png"))
+
+
 def test_registries():
     from styl3r_tpu.models.registry import get_backbone, get_decoder, get_distiller, get_encoder
 

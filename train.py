@@ -33,20 +33,44 @@ def main(argv=None):
 
     trainer = Trainer(cfg)
 
-    init_params = None
+    # Warm start (reference main_style.py:128-168): encoder weights from a
+    # Styl3R/NoPoSplat .ckpt or raw MASt3R .pth (auto-detected, possibly
+    # partial — merged over the model init inside fit()); the token stylizer
+    # optionally seeds from its own checkpoint.
+    warm_start = None
     if cfg.model.encoder.pretrained_weights:
-        import jax.numpy as jnp
-
         from styl3r_tpu.utils.checkpoint import (
-            convert_styl3r_encoder,
             load_torch_state_dict,
+            warm_start_encoder_params,
         )
 
         sd = load_torch_state_dict(cfg.model.encoder.pretrained_weights)
-        init_params = jax.tree.map(jnp.asarray, convert_styl3r_encoder(sd))
-        print(f"warm-started from {cfg.model.encoder.pretrained_weights}")
+        warm_start = warm_start_encoder_params(sd, cfg.model.encoder.sh_degree)
+        print(f"warm-started encoder from {cfg.model.encoder.pretrained_weights}")
+    if cfg.model.encoder.stylizer_pretrained_weights:
+        from styl3r_tpu.utils.checkpoint import (
+            convert_stylizer_weights,
+            load_torch_state_dict,
+            merge_params,
+        )
 
-    state = trainer.fit(max_steps=args.max_steps, init_params=init_params)
+        sty = convert_stylizer_weights(
+            load_torch_state_dict(cfg.model.encoder.stylizer_pretrained_weights)
+        )
+        warm_start = merge_params(warm_start, sty) if warm_start else sty
+        print(
+            "warm-started stylizer from "
+            f"{cfg.model.encoder.stylizer_pretrained_weights}"
+        )
+
+    init_params = None
+    if cfg.checkpointing.load:
+        init_params = trainer.load_params_lazy(cfg.checkpointing.load)
+        print(f"resumed params from {cfg.checkpointing.load}")
+
+    state = trainer.fit(
+        max_steps=args.max_steps, init_params=init_params, warm_start=warm_start
+    )
     trainer.save_checkpoint(state, trainer.output_dir / "checkpoints" / "final")
     print("done")
 
