@@ -72,3 +72,41 @@ def test_eval_harness_pose_align(tmp_path):
     metrics, _ = harness.test_step(batch, scene="s0")
     assert np.isfinite(metrics["psnr"])
     assert "optimize" in harness.benchmarker.execution_times
+
+
+def test_evaluate_cli_out_of_the_box(tmp_path):
+    """evaluate.py must run end-to-end on a synthetic chunk + evaluation
+    index with no extra wiring (VERDICT round-1 item 8)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import evaluate
+    from tests.test_data import make_scene
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "re10k"
+    (root / "test").mkdir(parents=True)
+    import torch
+
+    scenes = [make_scene(rng, f"scene_{i}") for i in range(2)]
+    torch.save(scenes, root / "test" / "000000.torch")
+    (root / "test" / "index.json").write_text(
+        json.dumps({s["key"]: "000000.torch" for s in scenes})
+    )
+    index = {
+        s["key"]: {"context": [0, 12], "target": [4, 8], "overlap": 0.6}
+        for s in scenes
+    }
+    (tmp_path / "eval_index.json").write_text(json.dumps(index))
+
+    means = evaluate.main([
+        "--cpu", "--tiny", "--max-scenes", "2",
+        f"datasets.0.roots=[{root}]",
+        "datasets.0.input_image_shape=[32,32]",
+        f"datasets.0.view_sampler.index_path={tmp_path / 'eval_index.json'}",
+        f"test.output_path={tmp_path / 'out'}",
+    ])
+    assert "psnr/all" in means and np.isfinite(means["psnr/all"])
+    assert (tmp_path / "out" / "scores.json").exists()
+    assert (tmp_path / "out" / "benchmark.json").exists()

@@ -1,0 +1,193 @@
+"""Parity tests that EXECUTE the reference's own source files.
+
+Unlike the hand-built torch skeletons elsewhere in tests/, these load pure
+torch/einops reference modules from /root/reference by file path (bypassing
+the xformers/cv2-infected package __init__) and compare the flax ports
+against the reference code itself — no transcription in the fixture.
+
+Covered here: loss_ssim.py (ssim + ms-ssim), heads/dpt_block.py +
+heads/dpt_head.py (DPT trunk, regression head, exp postprocess), and
+dataset/shims/crop_shim.py (rescale + center-crop + intrinsics adjustment).
+"""
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+REF = Path("/root/reference/src")
+
+torch.manual_seed(0)
+
+
+def load_ref(relpath: str, name: str, package: dict | None = None):
+    """Load a reference module by file path. `package` maps dotted module
+    names to stub module objects to satisfy relative imports."""
+    if package:
+        for mod_name, mod in package.items():
+            sys.modules.setdefault(mod_name, mod)
+    spec = importlib.util.spec_from_file_location(name, REF / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _heads_pkg():
+    """A real package rooted at the reference heads dir so `.dpt_block` and
+    `.postprocess` relative imports resolve."""
+    pkg = types.ModuleType("refheads")
+    pkg.__path__ = [str(REF / "model/encoder/heads")]
+    sys.modules["refheads"] = pkg
+    for sub in ("dpt_block", "postprocess"):
+        spec = importlib.util.spec_from_file_location(
+            f"refheads.{sub}", REF / f"model/encoder/heads/{sub}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refheads.{sub}"] = mod
+        spec.loader.exec_module(mod)
+    spec = importlib.util.spec_from_file_location(
+        "refheads.dpt_head", REF / "model/encoder/heads/dpt_head.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = "refheads"
+    sys.modules["refheads.dpt_head"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ssim_matches_reference_source():
+    ref = load_ref("loss/loss_ssim.py", "ref_loss_ssim")
+    from styl3r_tpu.losses.ssim import ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (2, 48, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    ta = torch.from_numpy(a).permute(0, 3, 1, 2)
+    tb = torch.from_numpy(b).permute(0, 3, 1, 2)
+    ref_val = ref.ssim(ta, tb, data_range=1.0, size_average=True)[0]
+    mine = float(jnp.mean(ssim(jnp.asarray(a), jnp.asarray(b))))
+    np.testing.assert_allclose(mine, float(ref_val), atol=2e-5)
+
+
+def test_ms_ssim_matches_reference_source():
+    ref = load_ref("loss/loss_ssim.py", "ref_loss_ssim")
+    # Latent bug in the reference: its ms_ssim unpacks 2 values from _ssim,
+    # which returns 5 (loss_ssim.py:256 vs :58-128) — ms_ssim crashes as
+    # shipped. Restore the upstream pytorch-msssim contract to execute it.
+    orig_ssim = ref._ssim
+    ref._ssim = lambda *a, **k: orig_ssim(*a, **k)[:2]
+    from styl3r_tpu.losses.ssim import ms_ssim
+
+    rng = np.random.default_rng(1)
+    # min side must exceed (11-1)*16 = 160.
+    a = rng.uniform(0, 1, (2, 176, 192, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.15, a.shape), 0, 1).astype(np.float32)
+    ta = torch.from_numpy(a).permute(0, 3, 1, 2)
+    tb = torch.from_numpy(b).permute(0, 3, 1, 2)
+    ref_val = float(ref.ms_ssim(ta, tb, data_range=1.0, size_average=True))
+    mine = float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(mine, ref_val, atol=2e-5)
+    # Odd sizes exercise the % 2 pooling padding.
+    a2, b2 = a[:, :170, :182], b[:, :170, :182]
+    ref2 = float(
+        ref.ms_ssim(
+            torch.from_numpy(a2).permute(0, 3, 1, 2),
+            torch.from_numpy(b2).permute(0, 3, 1, 2),
+            data_range=1.0,
+        )
+    )
+    mine2 = float(ms_ssim(jnp.asarray(a2), jnp.asarray(b2)))
+    np.testing.assert_allclose(mine2, ref2, atol=2e-5)
+    with pytest.raises(ValueError):
+        ms_ssim(jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+
+
+@pytest.mark.slow
+def test_dpt_head_matches_reference_source():
+    """DPTPts3dHead vs the reference's executed DPTOutputAdapter_fix +
+    'exp' postprocess (heads/dpt_head.py:21-118, heads/postprocess.py)."""
+    dpt_head = _heads_pkg()
+    postprocess = sys.modules["refheads.postprocess"].postprocess
+    from styl3r_tpu.models.dpt import DPTPts3dHead
+    from styl3r_tpu.utils.checkpoint import convert_pts3d_head
+
+    DEC_DIM, FDIM, LAST = 16, 24, 12
+    LAYER_DIMS = [8, 12, 16, 20]
+    HOOKS = [0, 2, 3, 4]
+    H = W = 32
+    nh, nw = H // 16, W // 16
+
+    adapter = dpt_head.DPTOutputAdapter_fix(
+        num_channels=3, hooks=HOOKS, layer_dims=LAYER_DIMS, feature_dim=FDIM,
+        last_dim=LAST, head_type="regression",
+    )
+    adapter.init(dim_tokens_enc=DEC_DIM)
+    adapter.eval()
+
+    rng = np.random.default_rng(2)
+    tokens = [
+        rng.normal(size=(1, nh * nw, DEC_DIM)).astype(np.float32) for _ in range(5)
+    ]
+    with torch.no_grad():
+        raw = adapter([torch.from_numpy(t) for t in tokens], image_size=(H, W))
+        ref_out = postprocess(raw, ("exp", -float("inf"), float("inf")), None)
+        ref_pts = ref_out["pts3d"].numpy()
+
+    sd = {f"h.dpt.{k}": v for k, v in adapter.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, {"params": convert_pts3d_head(sd, "h")})
+    head = DPTPts3dHead(
+        feature_dim=FDIM, last_dim=LAST, hooks=tuple(HOOKS),
+        layer_dims=tuple(LAYER_DIMS), patch_size=16,
+    )
+    mine = head.apply(params, [jnp.asarray(t) for t in tokens], (H, W))
+    np.testing.assert_allclose(np.asarray(mine), ref_pts, atol=3e-5)
+
+
+def test_crop_shim_matches_reference_source():
+    """rescale + center_crop + intrinsics adjustment vs the executed
+    reference crop shim (dataset/shims/crop_shim.py)."""
+    # Stub the relative `..types` import (only names are needed).
+    types_mod = types.ModuleType("refdataset.types")
+    types_mod.AnyExample = dict
+    types_mod.AnyViews = dict
+    pkg = types.ModuleType("refdataset")
+    pkg.__path__ = [str(REF / "dataset")]
+    shims_pkg = types.ModuleType("refdataset.shims")
+    shims_pkg.__path__ = [str(REF / "dataset/shims")]
+    crop = load_ref(
+        "dataset/shims/crop_shim.py",
+        "refdataset.shims.crop_shim",
+        package={
+            "refdataset": pkg,
+            "refdataset.types": types_mod,
+            "refdataset.shims": shims_pkg,
+        },
+    )
+    from styl3r_tpu.data.shims import rescale_and_crop
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (360, 640, 3)).astype(np.float32)
+    intr = np.asarray(
+        [[0.9, 0, 0.5], [0, 1.6, 0.5], [0, 0, 1.0]], np.float32
+    )
+    shape = (256, 256)
+
+    t_img = torch.from_numpy(img).permute(2, 0, 1)
+    out = crop.apply_crop_shim_to_views(
+        {"image": t_img[None], "intrinsics": torch.from_numpy(intr)[None]}, shape
+    )
+    ref_img, ref_intr = out["image"], out["intrinsics"]
+    my_img, my_intr = rescale_and_crop(img[None], intr[None], shape)
+    np.testing.assert_allclose(my_intr[0], ref_intr[0].numpy(), atol=1e-6)
+    # Both sides are uint8 -> PIL LANCZOS -> /255: bit-identical.
+    np.testing.assert_allclose(
+        my_img[0], ref_img[0].permute(1, 2, 0).numpy(), atol=1e-6
+    )
+    assert my_img.shape == (1, 256, 256, 3)
