@@ -1,0 +1,193 @@
+"""Per-stage device-time breakdown of the flagship predict+render path.
+
+Times each pipeline slice with an in-jit scan (the dev TPU sits behind a
+~25 ms/dispatch tunnel, so per-stage device time must be measured inside one
+jit) and prints a JSON breakdown:
+
+  backbone | stylizer | heads (pts3d+gs+appearance) | adapter |
+  project+bin+sort | composite (pallas fwd) | full forward
+
+Run on the real TPU:      python scripts/profile_stages.py
+Quick CPU smoke:          python scripts/profile_stages.py --cpu --tiny
+4-view / batched:         python scripts/profile_stages.py --views 4 --batch 4
+
+VERDICT round-1 item 5: accounts for the ~37 ms/scene that the round-1 README
+left unattributed. The output is committed as PROFILE_r{N}.json.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def time_scan(fn, args, n, perturb):
+    """Wall time of n in-jit iterations of fn; `perturb(args, carry)` must make
+    each iteration's input data-dependent so XLA can't CSE the scan body."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            out = fn(*perturb(args, carry))
+            # Touch EVERY output leaf: reducing only one would let XLA
+            # dead-code-eliminate the rest of the stage under test.
+            tot = sum(
+                leaf.reshape(-1)[0].astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+            return tot * 1e-12, ()
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return carry
+
+    jax.block_until_ready(run(args))  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(args))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--views", type=int, default=2)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--impl", default="auto")
+    parser.add_argument("--output", default="")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from styl3r_tpu.models.styl3r import Styl3rModel, normalize_images
+    from styl3r_tpu.models.decoder import render_gaussians
+    from styl3r_tpu.ops.rasterizer import make_raster_camera
+    from styl3r_tpu.ops.rasterizer.render import TILE, _build_pairs
+    from styl3r_tpu.ops.rasterizer.project import eval_sh, project_gaussians
+
+    impl = args.impl
+    if impl == "auto":
+        impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    h = w = args.size if not args.tiny else 64
+    b, v = args.batch, args.views
+    tiny = dict(enc_depth=2, dec_depth=4, enc_dim=32, dec_dim=16, enc_heads=2, dec_heads=2)
+    model = Styl3rModel(
+        sh_degree=0, backbone_dtype=jnp.bfloat16, **(tiny if args.tiny else {})
+    )
+    rng = np.random.default_rng(0)
+    batch = _example_batch(rng, b=b, v=v, h=h, w=w, t=1, style_hw=h)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    render_kwargs = dict(
+        max_per_tile=512 if args.tiny else 2048, max_tiles_per_gaussian=8, impl=impl
+    )
+    n = args.iters
+    enc = model.encoder
+    imgs = normalize_images(batch.context_images)
+    style = normalize_images(batch.style_image)
+
+    def perturb_img(a, c):
+        return (a[0] + c, *a[1:])
+
+    results = {}
+
+    # -- encoder slices ------------------------------------------------------
+    results["backbone"] = time_scan(
+        lambda im, k: enc.apply(params, im, k, method=lambda m, i, kk: m.backbone(i, kk)),
+        (imgs, batch.context_intrinsics), n, perturb_img,
+    )
+
+    def bb_sty(m, i, kk, s):
+        enc_feat, enc_pos, dec_feat = m.backbone(i, kk)
+        return m.token_stylizer(s, enc_feat, enc_pos)
+
+    results["backbone+stylizer"] = time_scan(
+        lambda im, k, s: enc.apply(params, im, k, s, method=bb_sty),
+        (imgs, batch.context_intrinsics, style), n, perturb_img,
+    )
+
+    results["predict (enc+sty+heads+adapter)"] = time_scan(
+        lambda im, k, s: enc.apply(params, im, k, s),
+        (imgs, batch.context_intrinsics, style), n, perturb_img,
+    )
+
+    # -- render slices (fixed gaussians) ------------------------------------
+    gaussians = jax.jit(lambda p, bt: model.predict_gaussians(p, bt))(params, batch)
+    gaussians = jax.block_until_ready(gaussians)
+    cam = make_raster_camera(
+        batch.target_extrinsics[0, 0], batch.target_intrinsics[0, 0],
+        batch.target_near[0, 0], batch.target_far[0, 0], (h, w),
+    )
+    means, covs = gaussians.means[0], gaussians.covariances[0]
+    shs, opas = gaussians.harmonics[0], gaussians.opacities[0]
+    gy, gx = h // TILE, w // TILE
+
+    def perturb_means(a, c):
+        return (a[0] + c, *a[1:])
+
+    def project_bin_sort(mns, cvs, op):
+        proj = project_gaussians(cam, mns, cvs)
+        pair_tiles, pair_depths, pair_gidx = _build_pairs(
+            proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
+            render_kwargs["max_tiles_per_gaussian"], opacities=op,
+        )
+        st, _, sg = jax.lax.sort((pair_tiles, pair_depths, pair_gidx), num_keys=2)
+        starts = jnp.searchsorted(st, jnp.arange(gy * gx, dtype=st.dtype))
+        return starts.astype(jnp.float32).sum() + sg[0].astype(jnp.float32)
+
+    results["project+bin+sort"] = time_scan(
+        project_bin_sort, (means, covs, opas), n, perturb_means
+    )
+
+    results["render (proj+sort+composite)"] = time_scan(
+        lambda mns: render_gaussians(
+            gaussians._replace(means=mns), batch.target_extrinsics,
+            batch.target_intrinsics, batch.target_near, batch.target_far,
+            (h, w), **render_kwargs,
+        ).color,
+        (gaussians.means,), n, perturb_means,
+    )
+
+    results["full forward"] = time_scan(
+        lambda bt_img: model.forward(
+            params, batch._replace(context_images=bt_img), (h, w), **render_kwargs
+        )[1].color,
+        (batch.context_images,), n, perturb_img,
+    )
+
+    # Derived slices.
+    derived = {
+        "stylizer": results["backbone+stylizer"] - results["backbone"],
+        "heads+adapter": results["predict (enc+sty+heads+adapter)"]
+        - results["backbone+stylizer"],
+        "composite": results["render (proj+sort+composite)"] - results["project+bin+sort"],
+    }
+
+    report = {
+        "config": {
+            "views": v, "batch": b, "size": h, "impl": impl,
+            "backend": jax.default_backend(), "tiny": args.tiny,
+        },
+        "per_scene_ms": {k: round(1e3 * t / b, 3) for k, t in results.items()},
+        "derived_ms": {k: round(1e3 * t / b, 3) for k, t in derived.items()},
+        "scenes_per_sec": round(b / results["full forward"], 3),
+    }
+    print(json.dumps(report, indent=2))
+    if args.output:
+        Path(args.output).write_text(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,12 +3,12 @@ from .adapter import (
     posed_gaussian_adapter,
     unified_gaussian_adapter,
 )
-from .croco import CrocoVitEncoder, MultiViewCrocoBackbone, TokenStylizer
+from .croco import CrocoEncBackbone, CrocoVitEncoder, MultiViewCrocoBackbone, TokenStylizer
 from .decoder import DecoderOutput, render_gaussians, render_orthographic
 from .distiller import Dust3RTeacher
-from .dpt import DPTGSHead, DPTGSSHHead, DPTPts3dHead
+from .dpt import DPTGSHead, DPTGSSHHead, DPTPts3dHead, LinearGSHead, LinearPts3dHead
 from .encoder import Styl3rEncoder
-from .registry import get_backbone, get_decoder, get_distiller, get_encoder
+from .registry import get_backbone, get_decoder, get_distiller, get_encoder, get_head
 from .styl3r import Batch, Styl3rModel, normalize_images
 from .vit import Attention, Block, CrossAttention, DecoderBlock, Mlp, PatchEmbed
 
@@ -16,6 +16,7 @@ __all__ = [
     "map_pdf_to_opacity",
     "posed_gaussian_adapter",
     "unified_gaussian_adapter",
+    "CrocoEncBackbone",
     "CrocoVitEncoder",
     "MultiViewCrocoBackbone",
     "TokenStylizer",
@@ -26,11 +27,14 @@ __all__ = [
     "DPTGSHead",
     "DPTGSSHHead",
     "DPTPts3dHead",
+    "LinearGSHead",
+    "LinearPts3dHead",
     "Styl3rEncoder",
     "get_backbone",
     "get_decoder",
     "get_distiller",
     "get_encoder",
+    "get_head",
     "Batch",
     "Styl3rModel",
     "normalize_images",

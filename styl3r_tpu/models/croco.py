@@ -194,6 +194,44 @@ class MultiViewCrocoBackbone(nn.Module):
         return outputs
 
 
+class CrocoEncBackbone(nn.Module):
+    """Encoder-only CroCo backbone (AsymmetricCroCoEnc,
+    backbone_croco_enc.py:61-226): the shared ViT encoder runs per view with
+    the optional intrinsics token; no cross-view decoder. Used by the
+    reference distillation experiment (`override /model/encoder/backbone:
+    croco_enc`). Returns (feat, pos) with shapes (b, v, l, c) / (b, v, l, 2),
+    intrinsics token kept (callers trim like the multiview backbone does)."""
+
+    patch_size: int = 16
+    use_intrinsics_token: bool = True
+    enc_depth: int = ENC_DEPTH
+    enc_dim: int = ENC_DIM
+    enc_heads: int = ENC_HEADS
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = CrocoVitEncoder(
+            depth=self.enc_depth, dim=self.enc_dim, num_heads=self.enc_heads,
+            patch_size=self.patch_size, dtype=self.dtype,
+        )
+        if self.use_intrinsics_token:
+            self.intrinsic_encoder = nn.Dense(self.enc_dim, dtype=self.dtype)
+
+    def __call__(
+        self, images: Array, intrinsics: Optional[Array] = None
+    ) -> Tuple[Array, Array]:
+        b, v, h, w, _ = images.shape
+        flat = images.reshape(b * v, h, w, 3)
+        extra = None
+        if self.use_intrinsics_token:
+            if intrinsics is None:
+                raise ValueError("backbone configured with intrinsics token; pass intrinsics")
+            extra = self.intrinsic_encoder(intrinsics.reshape(b * v, 9))[:, None, :]
+        feat, pos = self.encoder(flat, extra)
+        l = feat.shape[1]
+        return feat.reshape(b, v, l, self.enc_dim), pos.reshape(b, v, l, 2)
+
+
 class TokenStylizer(nn.Module):
     """Style-image ViT-L encoder + 12 cross-attention decoder blocks where the
     flattened content tokens of all views query the style tokens

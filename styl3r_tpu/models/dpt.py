@@ -203,6 +203,61 @@ class DPTPts3dHead(nn.Module):
         return pts
 
 
+def _pixel_shuffle_tokens(feat: Array, nh: int, nw: int, p: int) -> Array:
+    """(b, nh*nw, c*p*p) token features -> (b, nh*p, nw*p, c), matching torch
+    `view(B, c*p*p, nh, nw)` + `F.pixel_shuffle(p)` channel ordering
+    (channel index = c*p*p with f = c_out*p^2 + dy*p + dx)."""
+    b, l, f = feat.shape
+    c = f // (p * p)
+    x = feat.reshape(b, nh, nw, c, p, p)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, nh, p, nw, p, c)
+    return x.reshape(b, nh * p, nw * p, c)
+
+
+class LinearPts3dHead(nn.Module):
+    """'linear' pts3d head (heads/linear_head.py:12-40): one Dense from the
+    last decoder level to 16x16 x (3[+conf]) per token, pixel-shuffled to full
+    resolution, exp postprocess. No release config uses it; kept for parity
+    with the reference head registry."""
+
+    patch_size: int = 16
+    with_conf: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: List[Array], image_size: Tuple[int, int]):
+        h, w = image_size
+        p = self.patch_size
+        x = tokens[-1]  # (b, l, d)
+        out_ch = 3 + int(self.with_conf)
+        feat = nn.Dense(out_ch * p * p, dtype=self.dtype, name="proj")(x)
+        img = _pixel_shuffle_tokens(feat, h // p, w // p, p)
+        pts = reg_dense_pts3d(img[..., :3])
+        if self.with_conf:
+            conf = 1.0 + jnp.exp(jnp.minimum(img[..., 3], 20.0))
+            return pts, conf
+        return pts
+
+
+class LinearGSHead(nn.Module):
+    """'linear' gs-params head (heads/linear_head.py:43-76): Dense to
+    (2 xy-offset + 1 opacity + d_in raw gaussian channels) x 16x16 per token,
+    pixel-shuffled; raw output (the adapter applies activations)."""
+
+    out_channels: int  # 2 + 1 + d_in in the reference
+    patch_size: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: List[Array], image_size: Tuple[int, int]) -> Array:
+        h, w = image_size
+        p = self.patch_size
+        feat = nn.Dense(self.out_channels * p * p, dtype=self.dtype, name="proj")(
+            tokens[-1]
+        )
+        return _pixel_shuffle_tokens(feat, h // p, w // p, p)
+
+
 class GSParamsTower(nn.Module):
     """'gs_params' output tower (dpt_block.py:335-343): conv3x3 -> relu ->
     dropout -> conv1x1."""

@@ -14,18 +14,39 @@ from typing import Any, Dict
 
 
 def get_backbone(name: str, **kwargs):
-    from .croco import MultiViewCrocoBackbone
+    from .croco import CrocoEncBackbone, MultiViewCrocoBackbone
 
     if name in ("croco", "croco_multi"):
         # The multiview backbone at v=2 is exactly the asymmetric two-view
         # model (view 0 through dec_blocks, view 1 through dec_blocks2).
         return MultiViewCrocoBackbone(**kwargs)
-    if name in ("croco_enc", "dino", "resnet"):
+    if name == "croco_enc":
+        # Encoder-only variant used by the reference distill experiment.
+        return CrocoEncBackbone(**kwargs)
+    if name in ("dino", "resnet"):
         raise NotImplementedError(
             f"backbone '{name}' is a NoPoSplat legacy variant that no Styl3R "
             "release config uses; the production backbone is 'croco_multi'."
         )
     raise ValueError(f"unknown backbone: {name}")
+
+
+def get_head(name: str, out_channels: int = 3, **kwargs):
+    """Head factory (reference heads/__init__.py head_factory): 'dpt' pts3d,
+    'dpt_gs'/'dpt_gs_sh' gaussian-param towers, 'linear' pixel-shuffle heads."""
+    from .dpt import DPTGSHead, DPTGSSHHead, DPTPts3dHead, LinearGSHead, LinearPts3dHead
+
+    if name == "dpt":
+        return DPTPts3dHead(**kwargs)
+    if name == "dpt_gs":
+        return DPTGSHead(out_channels=out_channels, **kwargs)
+    if name == "dpt_gs_sh":
+        return DPTGSSHHead(out_channels=out_channels, **kwargs)
+    if name == "linear":
+        return LinearPts3dHead(**kwargs)
+    if name == "linear_gs":
+        return LinearGSHead(out_channels=out_channels, **kwargs)
+    raise ValueError(f"unknown head: {name}")
 
 
 def get_encoder(name: str, **kwargs):

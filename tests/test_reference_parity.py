@@ -191,3 +191,59 @@ def test_crop_shim_matches_reference_source():
         my_img[0], ref_img[0].permute(1, 2, 0).numpy(), atol=1e-6
     )
     assert my_img.shape == (1, 256, 256, 3)
+
+
+def test_linear_head_matches_reference_source():
+    """LinearPts3dHead vs the reference's executed LinearPts3d pixel-shuffle
+    head (heads/linear_head.py:12-40)."""
+    _heads_pkg()
+    spec = importlib.util.spec_from_file_location(
+        "refheads.linear_head", REF / "model/encoder/heads/linear_head.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = "refheads"
+    sys.modules["refheads.linear_head"] = mod
+    spec.loader.exec_module(mod)
+
+    from styl3r_tpu.models.dpt import LinearPts3dHead
+
+    DEC_DIM, P, H, W = 16, 16, 32, 48
+
+    class _Net:  # the reference head reads these off the croco net
+        class patch_embed:
+            patch_size = (P, P)
+
+        dec_embed_dim = DEC_DIM
+        depth_mode = ("exp", -float("inf"), float("inf"))
+        conf_mode = None
+
+    ref_head = mod.LinearPts3d(_Net).eval()
+    rng = np.random.default_rng(4)
+    tokens = rng.normal(size=(2, (H // P) * (W // P), DEC_DIM)).astype(np.float32)
+    with torch.no_grad():
+        ref_pts = ref_head([torch.from_numpy(tokens)], (H, W))["pts3d"].numpy()
+
+    head = LinearPts3dHead(patch_size=P)
+    params = {
+        "params": {
+            "proj": {
+                "kernel": jnp.asarray(ref_head.proj.weight.detach().numpy().T),
+                "bias": jnp.asarray(ref_head.proj.bias.detach().numpy()),
+            }
+        }
+    }
+    mine = head.apply(params, [jnp.asarray(tokens)], (H, W))
+    np.testing.assert_allclose(np.asarray(mine), ref_pts, atol=2e-5)
+
+
+def test_croco_enc_backbone_smoke():
+    """Encoder-only backbone (backbone_croco_enc.py) via the registry."""
+    from styl3r_tpu.models import get_backbone
+
+    bb = get_backbone("croco_enc", enc_depth=2, enc_dim=32, enc_heads=2)
+    imgs = jnp.zeros((1, 2, 32, 32, 3))
+    intr = jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3))
+    params = bb.init(jax.random.key(0), imgs, intr)
+    feat, pos = bb.apply(params, imgs, intr)
+    assert feat.shape == (1, 2, 5, 32)  # 2x2 patches + intrinsics token
+    assert pos.shape == (1, 2, 5, 2)
