@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--tiny", action="store_true", help="tiny trunk dims (smoke)")
     parser.add_argument("--iters", type=int, default=10, help="scan length per timing")
     parser.add_argument("--views", type=int, default=2)
+    parser.add_argument("--batch", type=int, default=1, help="scenes per step")
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
     args = parser.parse_args()
@@ -49,7 +50,7 @@ def main():
     )
     h = w = args.size if not args.tiny else 64
     rng = np.random.default_rng(0)
-    batch = _example_batch(rng, b=1, v=args.views, h=h, w=w, t=1, style_hw=h)
+    batch = _example_batch(rng, b=args.batch, v=args.views, h=h, w=w, t=1, style_hw=h)
     params = jax.jit(model.init)(jax.random.key(0), batch)
 
     render_kwargs = dict(impl=impl)
@@ -75,13 +76,13 @@ def main():
 
     t0 = time.perf_counter()
     jax.block_until_ready(predict_and_render_n(params, batch))
-    per_scene = (time.perf_counter() - t0) / n
-    scenes_per_sec = 1.0 / per_scene
+    per_step = (time.perf_counter() - t0) / n
+    scenes_per_sec = args.batch / per_step
 
     print(
         json.dumps(
             {
-                "metric": f"scenes/sec/chip ({args.views}-view {h}x{w} predict+render, {impl})",
+                "metric": f"scenes/sec/chip ({args.views}-view {h}x{w} b={args.batch} predict+render, {impl})",
                 "value": round(scenes_per_sec, 4),
                 "unit": "scenes/s",
                 "vs_baseline": round(scenes_per_sec / 1.0, 4),

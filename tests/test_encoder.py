@@ -67,6 +67,7 @@ def test_unified_adapter_properties():
     np.testing.assert_allclose(eig, np.sort(np.asarray(g.scales) ** 2, -1), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_encoder_shapes_and_determinism():
     rng = np.random.default_rng(1)
     batch = tiny_batch(rng)

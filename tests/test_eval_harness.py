@@ -1,6 +1,7 @@
 """EvalHarness unit test: the test_step protocol (identity style, metrics,
 benchmark artifacts) at tiny dims."""
 
+import pytest
 import json
 
 import jax
@@ -14,6 +15,7 @@ TINY = dict(enc_depth=2, dec_depth=4, enc_dim=32, dec_dim=16, enc_heads=2, dec_h
 H = W = 32
 
 
+@pytest.mark.slow
 def test_eval_harness_protocol(tmp_path):
     rng = np.random.default_rng(0)
     model = Styl3rModel(sh_degree=0, **TINY)
@@ -50,6 +52,7 @@ def test_eval_harness_protocol(tmp_path):
     assert (tmp_path / "images" / "s0" / "0000.png").exists()
 
 
+@pytest.mark.slow
 def test_eval_harness_pose_align(tmp_path):
     rng = np.random.default_rng(1)
     model = Styl3rModel(sh_degree=0, **TINY)
@@ -74,6 +77,7 @@ def test_eval_harness_pose_align(tmp_path):
     assert "optimize" in harness.benchmarker.execution_times
 
 
+@pytest.mark.slow
 def test_evaluate_cli_out_of_the_box(tmp_path):
     """evaluate.py must run end-to-end on a synthetic chunk + evaluation
     index with no extra wiring (VERDICT round-1 item 8)."""

@@ -1,6 +1,7 @@
 """Inference pipeline tests: pose alignment recovers perturbed cameras,
 trajectory interpolation properties, PLY export round trip."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +41,7 @@ def make_scene(rng, g=512):
     )
 
 
+@pytest.mark.slow
 def test_pose_alignment_recovers_perturbation():
     rng = np.random.default_rng(0)
     gaussians = make_scene(rng)

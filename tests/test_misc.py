@@ -1,6 +1,7 @@
 """Tests for auxiliary components: legacy stylizers, SH camera embedding,
 evaluation index generator."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,6 +51,7 @@ def test_linear_stylizer_matches_style_covariance():
     assert np.abs(cov_out - cov_sty).max() < 0.5
 
 
+@pytest.mark.slow
 def test_adain2d_shapes():
     model = AdaIN2D()
     rng = np.random.default_rng(3)

@@ -6,6 +6,7 @@ truncation (which the CUDA rasterizer also applies), so results must match to
 float tolerance — no golden images needed.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -265,6 +266,7 @@ def test_render_pose_delta_shifts_image():
     assert shifted_cx < base_cx
 
 
+@pytest.mark.slow
 def test_pallas_backward_matches_autodiff():
     """The Pallas backward kernel (interpret mode) must match jnp autodiff."""
     rng = np.random.default_rng(11)
