@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def time_scan(fn, args, n, perturb):
+def time_scan(fn, args, perturb, n):
     """Wall time of n in-jit iterations of fn; `perturb(args, carry)` must make
     each iteration's input data-dependent so XLA can't CSE the scan body."""
     import jax
@@ -102,26 +102,36 @@ def main():
         return (a[0] + c, *a[1:])
 
     results = {}
+    out_path = Path(args.output) if args.output else None
+
+    def record(name, fn_args):
+        t0 = time.time()
+        results[name] = time_scan(*fn_args, n=n)
+        print(f"{name}: {1e3 * results[name] / b:.3f} ms/scene "
+              f"(+{time.time() - t0:.0f}s compile+run)", flush=True)
+        if out_path:
+            out_path.write_text(json.dumps(
+                {k: round(1e3 * v / b, 3) for k, v in results.items()}, indent=2))
 
     # -- encoder slices ------------------------------------------------------
-    results["backbone"] = time_scan(
+    record("backbone", (
         lambda im, k: enc.apply(params, im, k, method=lambda m, i, kk: m.backbone(i, kk)),
-        (imgs, batch.context_intrinsics), n, perturb_img,
-    )
+        (imgs, batch.context_intrinsics), perturb_img,
+    ))
 
     def bb_sty(m, i, kk, s):
         enc_feat, enc_pos, dec_feat = m.backbone(i, kk)
         return m.token_stylizer(s, enc_feat, enc_pos)
 
-    results["backbone+stylizer"] = time_scan(
+    record("backbone+stylizer", (
         lambda im, k, s: enc.apply(params, im, k, s, method=bb_sty),
-        (imgs, batch.context_intrinsics, style), n, perturb_img,
-    )
+        (imgs, batch.context_intrinsics, style), perturb_img,
+    ))
 
-    results["predict (enc+sty+heads+adapter)"] = time_scan(
+    record("predict (enc+sty+heads+adapter)", (
         lambda im, k, s: enc.apply(params, im, k, s),
-        (imgs, batch.context_intrinsics, style), n, perturb_img,
-    )
+        (imgs, batch.context_intrinsics, style), perturb_img,
+    ))
 
     # -- render slices (fixed gaussians) ------------------------------------
     gaussians = jax.jit(lambda p, bt: model.predict_gaussians(p, bt))(params, batch)
@@ -147,25 +157,23 @@ def main():
         starts = jnp.searchsorted(st, jnp.arange(gy * gx, dtype=st.dtype))
         return starts.astype(jnp.float32).sum() + sg[0].astype(jnp.float32)
 
-    results["project+bin+sort"] = time_scan(
-        project_bin_sort, (means, covs, opas), n, perturb_means
-    )
+    record("project+bin+sort", (project_bin_sort, (means, covs, opas), perturb_means))
 
-    results["render (proj+sort+composite)"] = time_scan(
+    record("render (proj+sort+composite)", (
         lambda mns: render_gaussians(
             gaussians._replace(means=mns), batch.target_extrinsics,
             batch.target_intrinsics, batch.target_near, batch.target_far,
             (h, w), **render_kwargs,
         ).color,
-        (gaussians.means,), n, perturb_means,
-    )
+        (gaussians.means,), perturb_means,
+    ))
 
-    results["full forward"] = time_scan(
+    record("full forward", (
         lambda bt_img: model.forward(
             params, batch._replace(context_images=bt_img), (h, w), **render_kwargs
         )[1].color,
-        (batch.context_images,), n, perturb_img,
-    )
+        (batch.context_images,), perturb_img,
+    ))
 
     # Derived slices.
     derived = {

@@ -287,13 +287,26 @@ class Trainer:
 
     # -- checkpointing ----------------------------------------------------
 
-    def save_checkpoint(self, state: TrainState, path: Optional[Path] = None):
+    def save_checkpoint(
+        self, state: TrainState, path: Optional[Path] = None, full: bool = True
+    ):
+        """Save params (+ optimizer state and step when `full`, the reference
+        main.py resume contract) as one orbax checkpoint."""
         import orbax.checkpoint as ocp
 
         path = Path(path or self.output_dir / "checkpoints" / f"step_{int(state.step)}")
         path.parent.mkdir(parents=True, exist_ok=True)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path.absolute(), jax.device_get(state.params))
+        payload = (
+            {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            }
+            if full
+            else state.params
+        )
+        ckptr.save(path.absolute(), jax.device_get(payload))
         ckptr.wait_until_finished()
 
     def load_params(self, path: Path, like):
@@ -303,12 +316,42 @@ class Trainer:
         return ckptr.restore(Path(path).absolute(), target=jax.device_get(like))
 
     def load_params_lazy(self, path: Path):
-        """Restore a params pytree without a target template (own-format
-        orbax checkpoints saved by save_checkpoint)."""
+        """Restore a params pytree without a target template. Full-state
+        checkpoints (params + opt_state + step) yield just the params here;
+        use restore_state for a true resume."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(Path(path).absolute())
+        restored = ckptr.restore(Path(path).absolute())
+        if isinstance(restored, dict) and "opt_state" in restored:
+            return restored["params"]
+        return restored
+
+    def restore_state(self, path: Path, like: TrainState) -> TrainState:
+        """True resume: restore params + optimizer state + step against the
+        freshly-initialized TrainState template (same optimizer config).
+        Falls back to params-only restore for legacy checkpoints."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": like.params,
+            "opt_state": like.opt_state,
+            "step": like.step,
+        }
+        try:
+            restored = ckptr.restore(
+                Path(path).absolute(), target=jax.device_get(target)
+            )
+            return TrainState(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["step"]),
+            )
+        except Exception as exc:
+            print(f"full-state restore failed ({exc}); restoring params only")
+            params = self.load_params(path, like.params)
+            return like._replace(params=params)
 
     # -- training ---------------------------------------------------------
 
@@ -385,6 +428,9 @@ class Trainer:
                 params=init_params, opt_state=tx.init(init_params),
                 step=jnp.zeros((), jnp.int32),
             )
+        if cfg.checkpointing.load and cfg.checkpointing.resume:
+            state = self.restore_state(cfg.checkpointing.load, state)
+            print(f"resumed full train state at step {int(state.step)}")
 
         h, w = first.context_images.shape[2:4]
         impl = cfg.model.decoder.impl
@@ -431,7 +477,8 @@ class Trainer:
         rng = jax.random.key(cfg.train.seed + 1)
         batch = first
         t_last = time.time()
-        for i in range(max_steps):
+        start_step = int(state.step)
+        for i in range(start_step, max_steps):
             rng, step_rng = jax.random.split(rng)
             sharded = shard_batch(batch, self.mesh)
             step_args = (state, sharded, jax.device_put(step_rng, repl))

@@ -285,3 +285,65 @@ def test_registries():
         get_backbone("resnet")
     with pytest.raises(ValueError):
         get_encoder("bogus")
+
+
+@pytest.mark.slow
+def test_checkpoint_full_state_roundtrip(tmp_path):
+    """True optimizer-state resume (reference main.py checkpoint contract):
+    params + opt_state (incl. multi_transform stage-2 states) + step survive
+    an orbax save/restore; legacy params-only checkpoints still load."""
+    from styl3r_tpu.train.trainer import Trainer
+    from styl3r_tpu.train.step import TrainState
+    from styl3r_tpu.utils.config import RootCfg
+
+    rng = np.random.default_rng(11)
+    model = Styl3rModel(
+        sh_degree=0, enc_depth=1, dec_depth=2, enc_dim=32, dec_dim=16,
+        enc_heads=2, dec_heads=2, head_feature_dim=16, head_last_dim=16,
+        head_layer_dims=(8, 8, 16, 16),
+    )
+    k = np.asarray([[0.9, 0, 0.5], [0, 0.9, 0.5], [0, 0, 1.0]], np.float32)
+    batch = Batch(
+        context_images=jnp.asarray(rng.uniform(0, 1, (1, 2, 16, 16, 3)), jnp.float32),
+        context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (1, 2, 3, 3)),
+        target_extrinsics=jnp.eye(4)[None, None],
+        target_intrinsics=jnp.asarray(k)[None, None],
+        target_near=jnp.full((1, 1), 0.5),
+        target_far=jnp.full((1, 1), 100.0),
+        style_image=jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32),
+        target_images=jnp.asarray(rng.uniform(0, 1, (1, 1, 16, 16, 3)), jnp.float32),
+    )
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    tx = make_stage2_optimizer(lr=1e-3, warmup_steps=0, total_steps=10, params=params)
+    opt_state = tx.init(params)
+    # Make the adam moments nonzero so the roundtrip is meaningful.
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt_state = tx.update(grads, opt_state, params)
+    state = TrainState(params=params, opt_state=opt_state, step=jnp.asarray(7, jnp.int32))
+
+    cfg = RootCfg()
+    cfg.checkpointing.output_dir = str(tmp_path)
+    trainer = Trainer(cfg, model=model)
+    trainer.save_checkpoint(state, tmp_path / "ck")
+
+    like = TrainState(
+        params=jax.tree.map(jnp.zeros_like, params),
+        opt_state=tx.init(jax.tree.map(jnp.zeros_like, params)),
+        step=jnp.zeros((), jnp.int32),
+    )
+    restored = trainer.restore_state(tmp_path / "ck", like)
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(restored.opt_state), jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Legacy params-only checkpoint path.
+    trainer.save_checkpoint(state, tmp_path / "ck_params", full=False)
+    loaded = trainer.load_params_lazy(tmp_path / "ck_params")
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(a, b)
+    # load_params_lazy on a full checkpoint returns just the params.
+    loaded2 = trainer.load_params_lazy(tmp_path / "ck")
+    for a, b in zip(jax.tree.leaves(loaded2), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(a, b)
