@@ -188,3 +188,55 @@ def test_render_orthographic():
     assert out.color.shape == (1, 1, 64, 64, 3)
     assert bool(jnp.isfinite(out.color).all())
     assert float(out.alpha.mean()) > 0.01  # splats visible
+
+
+def test_render_orthographic_depth_invariance():
+    """Orthographic golden (reference render_cuda_orthographic,
+    cuda_splatting.py:136-227): with the far-camera/tiny-fov trick, a splat's
+    screen position and extent must be (near-)independent of its depth —
+    unlike the perspective render of the same scene."""
+    from styl3r_tpu.geometry import Gaussians, build_covariance
+    from styl3r_tpu.models.decoder import render_gaussians, render_orthographic
+
+    def one_gaussian_at(z):
+        means = jnp.asarray([[[0.4, 0.0, z]]], jnp.float32)
+        cov = build_covariance(
+            jnp.full((1, 3), 0.08), jnp.asarray([[0.0, 0, 0, 1.0]])
+        )[None]
+        sh = jnp.full((1, 1, 3, 1), 1.0 / 0.2821, jnp.float32)
+        return Gaussians(means, cov, sh, jnp.full((1, 1), 0.95))
+
+    kw = dict(max_per_tile=64, max_tiles_per_gaussian=8)
+    ortho = [
+        render_orthographic(
+            one_gaussian_at(z), jnp.eye(4)[None, None], jnp.full((1, 1), 3.0),
+            jnp.full((1, 1), 3.0), jnp.full((1, 1), 0.1), jnp.full((1, 1), 100.0),
+            (64, 64), **kw,
+        )
+        for z in (1.0, 2.0)
+    ]
+
+    def centroid_and_mass(out):
+        a = np.asarray(out.alpha[0, 0])
+        ys, xs = np.mgrid[0:64, 0:64]
+        m = a.sum()
+        return np.array([(a * xs).sum() / m, (a * ys).sum() / m]), m
+
+    c1, m1 = centroid_and_mass(ortho[0])
+    c2, m2 = centroid_and_mass(ortho[1])
+    np.testing.assert_allclose(c1, c2, atol=0.5)       # same screen position
+    np.testing.assert_allclose(m1, m2, rtol=0.05)      # same splat extent
+
+    # Perspective control: the same depth change shifts/shrinks the splat.
+    k = jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]])[None, None]
+    persp = [
+        render_gaussians(
+            one_gaussian_at(z), jnp.eye(4)[None, None], k,
+            jnp.full((1, 1), 0.1), jnp.full((1, 1), 100.0), (64, 64), **kw,
+        )
+        for z in (1.0, 2.0)
+    ]
+    p1, pm1 = centroid_and_mass(persp[0])
+    p2, pm2 = centroid_and_mass(persp[1])
+    assert np.abs(p1 - p2).max() > 2.0   # parallax shift
+    assert pm1 > 1.5 * pm2               # perspective shrink
