@@ -551,10 +551,16 @@ class Trainer:
         ssim_val = float(jnp.mean(compute_ssim(gt, pred)))
         step = int(state.step)
         self.logger.log_scalars(step, {"val_psnr": psnr, "val_ssim": ssim_val})
-        side_by_side = np.concatenate(
-            [np.asarray(pred[0]), np.asarray(gt[0])], axis=1
+        from ..utils.viz import validation_gallery
+
+        gallery = validation_gallery(
+            np.asarray(batch.context_images[0]),
+            np.asarray(batch.target_images[0]),
+            np.asarray(output.color[0]),
+            depth=np.asarray(output.depth[0]),
+            style_image=np.asarray(batch.style_image[0]) if stylized else None,
         )
-        self.logger.log_image(step, "val_comparison", side_by_side)
+        self.logger.log_image(step, "val_comparison", gallery)
 
         # Short interpolated camera trajectory between the first two targets
         # (stand-in for the reference's wobble/interpolation videos, :544-629).

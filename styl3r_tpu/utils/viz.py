@@ -190,3 +190,27 @@ def annotate(image: np.ndarray, text: str, color=(1.0, 1.0, 1.0)) -> np.ndarray:
     draw.text((2, 2), text, fill=tuple(int(c * 255) for c in color))
     bar_arr = np.asarray(bar, np.float32) / 255.0
     return np.concatenate([bar_arr, image], axis=0)
+
+
+def validation_gallery(
+    context_images: np.ndarray,  # (v, h, w, 3)
+    target_gt: np.ndarray,  # (t, h, w, 3)
+    prediction: np.ndarray,  # (t, h, w, 3)
+    depth: np.ndarray = None,  # (t, h, w) optional
+    style_image: np.ndarray = None,  # (hs, ws, 3) optional
+) -> np.ndarray:
+    """The reference's validation comparison gallery
+    (model_wrapper_style.py:471-543: labeled rows of context / GT / predicted
+    [/ depth] stacked into one grid image)."""
+    rows = [
+        annotate(hcat(*[_to_image(im) for im in context_images]), "context"),
+        annotate(hcat(*[_to_image(im) for im in target_gt]), "target (gt)"),
+        annotate(hcat(*[_to_image(im) for im in prediction]), "prediction"),
+    ]
+    if depth is not None:
+        rows.append(
+            annotate(hcat(*[color_map_depth(np.asarray(d)) for d in depth]), "depth")
+        )
+    if style_image is not None:
+        rows.append(annotate(_to_image(style_image), "style"))
+    return vcat(*rows)
