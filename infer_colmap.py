@@ -34,6 +34,8 @@ def main(argv=None):
     parser.add_argument("--tiny", action="store_true", help="tiny trunk (smoke test)")
     parser.add_argument("--max-targets", type=int, default=None)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--scale-invariant", action="store_true",
+                        help="per-view 1/near rescale before rendering (reference decoder.make_scale_invariant)")
     args = parser.parse_args(argv)
 
     import jax
@@ -113,9 +115,9 @@ def main(argv=None):
     )
     params = load_params(args.checkpoint, model, example)
 
-    render_kwargs = {}
+    render_kwargs = {"scale_invariant": args.scale_invariant}
     if args.tiny:
-        render_kwargs = dict(max_per_tile=512, max_tiles_per_gaussian=8)
+        render_kwargs.update(max_per_tile=512, max_tiles_per_gaussian=8)
     metrics = run_scene_inference(
         params, images, intrinsics, poses, context, target, style,
         Path(args.output), image_shape=(h, w),

@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--scale-invariant", action="store_true",
+                        help="per-view 1/near rescale before rendering (reference decoder.make_scale_invariant)")
     args = parser.parse_args(argv)
 
     import jax
@@ -85,6 +87,7 @@ def main(argv=None):
     params = load_params(args.checkpoint, model, example_batch)
 
     render_kwargs = dict(max_per_tile=512, max_tiles_per_gaussian=8) if args.tiny else {}
+    render_kwargs["scale_invariant"] = args.scale_invariant
     metrics = run_scene_inference(
         params, images, intrinsics, extrinsics, context, target, style,
         Path(args.output) / args.scene, image_shape=(hw, hw),

@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--video-frames", type=int, default=0)
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--scale-invariant", action="store_true",
+                        help="per-view 1/near rescale before rendering (reference decoder.make_scale_invariant)")
     args = parser.parse_args(argv)
 
     import jax
@@ -94,6 +96,7 @@ def main(argv=None):
     )
     params = load_params(args.checkpoint, model, example_batch)
     render_kwargs = dict(max_per_tile=512, max_tiles_per_gaussian=8) if args.tiny else {}
+    render_kwargs["scale_invariant"] = args.scale_invariant
 
     for sid in args.style_ids:
         style = load_image(styles[sid % len(styles)])
