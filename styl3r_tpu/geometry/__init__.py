@@ -31,3 +31,11 @@ __all__ = [
     "so3_exp",
     "update_pose",
 ]
+from .ptc_geometry import (
+    depthmap_to_absolute_camera_coordinates,
+    depthmap_to_camera_coordinates,
+    geotrf,
+    get_joint_pointcloud_center_scale,
+    get_joint_pointcloud_depth,
+    normalize_pointcloud,
+)

@@ -247,3 +247,120 @@ def test_croco_enc_backbone_smoke():
     feat, pos = bb.apply(params, imgs, intr)
     assert feat.shape == (1, 2, 5, 32)  # 2x2 patches + intrinsics token
     assert pos.shape == (1, 2, 5, 2)
+
+
+def test_ptc_geometry_matches_reference_source():
+    """geotrf / normalize_pointcloud (all modes) / joint depth quantile /
+    center+scale / intrinsics shims vs the executed reference
+    (geometry/ptc_geometry.py)."""
+    # Build the package skeleton so `..model.encoder.backbone.croco.misc`
+    # resolves to the real reference misc.py (pure torch).
+    names = [
+        "refsrc", "refsrc.geometry", "refsrc.model", "refsrc.model.encoder",
+        "refsrc.model.encoder.backbone", "refsrc.model.encoder.backbone.croco",
+    ]
+    for nm in names:
+        mod = types.ModuleType(nm)
+        mod.__path__ = []
+        sys.modules.setdefault(nm, mod)
+    spec = importlib.util.spec_from_file_location(
+        "refsrc.model.encoder.backbone.croco.misc",
+        REF / "model/encoder/backbone/croco/misc.py",
+    )
+    misc = importlib.util.module_from_spec(spec)
+    sys.modules["refsrc.model.encoder.backbone.croco.misc"] = misc
+    spec.loader.exec_module(misc)
+    spec = importlib.util.spec_from_file_location(
+        "refsrc.geometry.ptc_geometry", REF / "geometry/ptc_geometry.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    ref.__package__ = "refsrc.geometry"
+    sys.modules["refsrc.geometry.ptc_geometry"] = ref
+    spec.loader.exec_module(ref)
+
+    from styl3r_tpu.geometry import ptc_geometry as mine
+
+    rng = np.random.default_rng(7)
+    b, h, w = 2, 6, 8
+    pts1 = rng.normal(size=(b, h, w, 3)).astype(np.float32) * 2
+    pts2 = rng.normal(size=(b, h, w, 3)).astype(np.float32) * 3
+    valid1 = rng.uniform(size=(b, h, w)) > 0.3
+    valid2 = rng.uniform(size=(b, h, w)) > 0.3
+
+    # geotrf: batched SE3 on (b, h, w, 3) and projective with norm.
+    trf = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    trf[:, :3, :3] = ref.inv(torch.eye(3))[None].numpy()  # identity; keep simple
+    trf[:, :3, 3] = rng.normal(size=(b, 3))
+    r_out = ref.geotrf(torch.from_numpy(trf), torch.from_numpy(pts1))
+    m_out = mine.geotrf(jnp.asarray(trf)[:, None, None], jnp.asarray(pts1))
+    np.testing.assert_allclose(np.asarray(m_out), r_out.numpy(), atol=1e-5)
+
+    # normalize_pointcloud: every supported mode.
+    for mode in ("avg_dis", "avg_log1p", "median_dis", "sqrt_dis"):
+        r1, r2 = ref.normalize_pointcloud(
+            torch.from_numpy(pts1), torch.from_numpy(pts2), mode,
+            torch.from_numpy(valid1), torch.from_numpy(valid2),
+        )
+        m1, m2 = mine.normalize_pointcloud(
+            jnp.asarray(pts1), jnp.asarray(pts2), mode,
+            jnp.asarray(valid1), jnp.asarray(valid2),
+        )
+        # Invalid points get arbitrary values in the reference (NaN paths);
+        # compare on the valid set only.
+        np.testing.assert_allclose(
+            np.asarray(m1)[valid1], r1.numpy()[valid1], rtol=2e-4, err_msg=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2)[valid2], r2.numpy()[valid2], rtol=2e-4, err_msg=mode
+        )
+
+    # joint depth quantile.
+    z1, z2 = pts1[..., 2], pts2[..., 2]
+    r_q = ref.get_joint_pointcloud_depth(
+        torch.from_numpy(z1), torch.from_numpy(z2),
+        torch.from_numpy(valid1), torch.from_numpy(valid2), quantile=0.4,
+    )
+    m_q = mine.get_joint_pointcloud_depth(
+        jnp.asarray(z1), jnp.asarray(z2), jnp.asarray(valid1),
+        jnp.asarray(valid2), quantile=0.4,
+    )
+    # torch.nanquantile interpolates; the weighted-rank version picks the
+    # crossing sample — agree to one sample spacing.
+    assert np.abs(np.asarray(m_q) - r_q.numpy()).max() < 0.35
+
+    # center + scale (median-based).
+    r_c, r_s = ref.get_joint_pointcloud_center_scale(
+        torch.from_numpy(pts1), torch.from_numpy(pts2),
+        torch.from_numpy(valid1), torch.from_numpy(valid2),
+    )
+    m_c, m_s = mine.get_joint_pointcloud_center_scale(
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(valid1),
+        jnp.asarray(valid2),
+    )
+    # medians: nanmedian picks lower-of-two; rank version likewise -> close.
+    assert np.abs(np.asarray(m_c).squeeze() - r_c.numpy().squeeze()).max() < 0.35
+    assert np.abs(np.asarray(m_s).squeeze() - r_s.numpy().squeeze()).max() < 0.35
+
+    # intrinsics convention shims.
+    k = np.asarray([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(mine.colmap_to_opencv_intrinsics(jnp.asarray(k))),
+        ref.colmap_to_opencv_intrinsics(k.copy()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(mine.opencv_to_colmap_intrinsics(jnp.asarray(k))),
+        ref.opencv_to_colmap_intrinsics(k.copy()),
+    )
+
+    # depthmap unprojection roundtrip against geotrf-based reference path.
+    depth = rng.uniform(0.5, 3.0, (h, w)).astype(np.float32)
+    kpix = np.asarray([[50.0, 0, 4.0], [0, 50.0, 3.0], [0, 0, 1]], np.float32)
+    pose = trf[0]
+    r_pts, r_valid = ref.depthmap_to_absolute_camera_coordinates(
+        depth, kpix, pose
+    )
+    m_pts, m_valid = mine.depthmap_to_absolute_camera_coordinates(
+        jnp.asarray(depth), jnp.asarray(kpix), jnp.asarray(pose)
+    )
+    np.testing.assert_allclose(np.asarray(m_pts), r_pts, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m_valid), r_valid)
