@@ -106,11 +106,17 @@ class Styl3rEncoder(nn.Module):
         global_step: Array | int = 0,
         deterministic: bool = True,
         return_aux: bool = False,
+        transpose_maps: bool = False,
     ) -> Gaussians | Tuple[Gaussians, Dict[str, Array]]:
         """Args:
           context_images: (b, v, h, w, 3) in [-1, 1].
           context_intrinsics: (b, v, 3, 3) normalized.
           style_image: (b, hs, ws, 3) in [-1, 1].
+          transpose_maps: portrait mode (reference transpose_to_landscape,
+            croco/misc.py:71-110): the caller feeds transposed-to-landscape
+            images + swapped intrinsics; the dense per-pixel maps are
+            transposed back to the true portrait orientation before the
+            adapter, so gaussians land in the true camera frame.
         Returns Gaussians with g = v*h*w per batch element (+ aux dict with
         per-view pts3d/depths when return_aux).
         """
@@ -142,6 +148,14 @@ class Styl3rEncoder(nn.Module):
         gs_appear = gs_appear.reshape(b, v, h, w, -1)  # (b, v, h, w, 3*d_sh)
 
         raw = jnp.concatenate([gs_struct, gs_appear], axis=-1)
+        if transpose_maps:
+            # Back to the true (portrait) orientation: spatial h/w swap only,
+            # exactly the reference's `transposed` (croco/misc.py:116-117) —
+            # value channels are untouched (the reference trains under this
+            # wrapper, so heads predict in the true camera frame).
+            pts_all = jnp.swapaxes(pts_all, 2, 3)
+            raw = jnp.swapaxes(raw, 2, 3)
+            h, w = w, h
         densities = nn.sigmoid(raw[..., 0])
         opacities = map_pdf_to_opacity(
             densities, global_step, self.opacity_initial, self.opacity_final,

@@ -41,6 +41,15 @@ def normalize_images(images: Array) -> Array:
     return images * 2.0 - 1.0
 
 
+def transpose_intrinsics(k: Array) -> Array:
+    """Normalized intrinsics of the h/w-transposed image: fx/cx swap with
+    fy/cy (ManyAR portrait handling)."""
+    out = k
+    out = out.at[..., 0, 0].set(k[..., 1, 1]).at[..., 1, 1].set(k[..., 0, 0])
+    out = out.at[..., 0, 2].set(k[..., 1, 2]).at[..., 1, 2].set(k[..., 0, 2])
+    return out
+
+
 class Styl3rModel:
     """Bundles the encoder module with jit-friendly apply functions."""
 
@@ -65,15 +74,30 @@ class Styl3rModel:
         deterministic: bool = True,
         return_aux: bool = False,
         rngs: Optional[Dict] = None,
+        portrait: bool = False,
     ):
+        """With `portrait` (whole-batch portrait scenes, h > w), the encoder
+        runs in landscape orientation — inputs transposed, intrinsics axis-
+        swapped — and its dense maps transpose back before the adapter
+        (reference ManyAR_PatchEmbed + transpose_to_landscape,
+        croco/patch_embed.py:33-75, croco/misc.py:71-117). Rendering then uses
+        the true portrait cameras unchanged."""
+        context = normalize_images(batch.context_images)
+        style = normalize_images(batch.style_image)
+        intrinsics = batch.context_intrinsics
+        if portrait:
+            context = jnp.swapaxes(context, 2, 3)
+            style = jnp.swapaxes(style, 1, 2)
+            intrinsics = transpose_intrinsics(intrinsics)
         return self.encoder.apply(
             params,
-            normalize_images(batch.context_images),
-            batch.context_intrinsics,
-            normalize_images(batch.style_image),
+            context,
+            intrinsics,
+            style,
             global_step=global_step,
             deterministic=deterministic,
             return_aux=return_aux,
+            transpose_maps=portrait,
             rngs=rngs,
         )
 
@@ -86,6 +110,7 @@ class Styl3rModel:
         deterministic: bool = True,
         rngs: Optional[Dict] = None,
         return_aux: bool = False,
+        portrait: bool = False,
         **render_kwargs,
     ):
         """Predict + render. With return_aux, also returns the encoder's aux
@@ -93,7 +118,7 @@ class Styl3rModel:
         by the distillation loss, model_wrapper_style.py:234-242)."""
         out = self.predict_gaussians(
             params, batch, global_step, deterministic, return_aux=return_aux,
-            rngs=rngs,
+            rngs=rngs, portrait=portrait,
         )
         gaussians, aux = out if return_aux else (out, None)
         output = render_gaussians(

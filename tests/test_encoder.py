@@ -240,3 +240,74 @@ def test_render_orthographic_depth_invariance():
     p2, pm2 = centroid_and_mass(persp[1])
     assert np.abs(p1 - p2).max() > 2.0   # parallax shift
     assert pm1 > 1.5 * pm2               # perspective shrink
+
+
+@pytest.mark.slow
+def test_portrait_mode_matches_transposed_landscape():
+    """ManyAR portrait handling (reference transpose_to_landscape,
+    croco/misc.py:71-117): feeding the transposed batch with portrait=True
+    must reproduce the landscape run's dense maps, spatially transposed, and
+    a portrait (48x32) scene must render end-to-end."""
+    rng = np.random.default_rng(9)
+    model = Styl3rModel(
+        sh_degree=0, enc_depth=1, dec_depth=2, enc_dim=32, dec_dim=16,
+        enc_heads=2, dec_heads=2, head_feature_dim=16, head_last_dim=16,
+        head_layer_dims=(8, 8, 16, 16),
+    )
+    k = np.asarray([[0.9, 0, 0.5], [0, 1.2, 0.4], [0, 0, 1.0]], np.float32)
+    b, v, h, w = 1, 2, 32, 32  # square: portrait path must match exactly
+    batch = Batch(
+        context_images=jnp.asarray(rng.uniform(0, 1, (b, v, h, w, 3)), jnp.float32),
+        context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (b, v, 3, 3)),
+        target_extrinsics=jnp.eye(4)[None, None],
+        target_intrinsics=jnp.asarray(k)[None, None],
+        target_near=jnp.full((b, 1), 0.5),
+        target_far=jnp.full((b, 1), 100.0),
+        style_image=jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)), jnp.float32),
+    )
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+
+    g_land, aux_land = model.predict_gaussians(params, batch, return_aux=True)
+    from styl3r_tpu.models.styl3r import transpose_intrinsics
+
+    batch_t = batch._replace(
+        context_images=jnp.swapaxes(batch.context_images, 2, 3),
+        style_image=jnp.swapaxes(batch.style_image, 1, 2),
+        context_intrinsics=transpose_intrinsics(batch.context_intrinsics),
+    )
+    g_port, aux_port = model.predict_gaussians(
+        params, batch_t, return_aux=True, portrait=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_port["pts3d"]),
+        np.asarray(jnp.swapaxes(aux_land["pts3d"], 2, 3)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_port.opacities).reshape(b, v, w, h),
+        np.asarray(jnp.swapaxes(np.asarray(g_land.opacities).reshape(b, v, h, w), 2, 3)),
+        atol=1e-5,
+    )
+
+    # Non-square portrait scene renders end-to-end with true portrait cameras.
+    hp, wp = 48, 32
+    batch_p = Batch(
+        context_images=jnp.asarray(rng.uniform(0, 1, (b, v, hp, wp, 3)), jnp.float32),
+        context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (b, v, 3, 3)),
+        target_extrinsics=jnp.eye(4)[None, None],
+        target_intrinsics=jnp.asarray(k)[None, None],
+        target_near=jnp.full((b, 1), 0.5),
+        target_far=jnp.full((b, 1), 100.0),
+        style_image=jnp.asarray(rng.uniform(0, 1, (b, hp, wp, 3)), jnp.float32),
+    )
+    params_p = jax.jit(model.init)(jax.random.key(1), batch_p._replace(
+        context_images=jnp.swapaxes(batch_p.context_images, 2, 3),
+        style_image=jnp.swapaxes(batch_p.style_image, 1, 2),
+    ))
+    g, out = model.forward(
+        params_p, batch_p, (hp, wp), portrait=True,
+        max_per_tile=64, max_tiles_per_gaussian=4,
+    )
+    assert out.color.shape == (b, 1, hp, wp, 3)
+    assert bool(jnp.isfinite(out.color).all())
+    assert g.means.shape == (b, v * hp * wp, 3)
