@@ -99,7 +99,10 @@ def main():
     style = normalize_images(batch.style_image)
 
     def perturb_img(a, c):
-        return (a[0] + c, *a[1:])
+        # a = (params, images, ...): perturb the image operand, never the
+        # params (params ride through args so they become jit PARAMETERS —
+        # closing over them bakes 2.4 GB of constants into the lowering).
+        return (a[0], a[1] + c, *a[2:])
 
     results = {}
     out_path = Path(args.output) if args.output else None
@@ -115,8 +118,8 @@ def main():
 
     # -- encoder slices ------------------------------------------------------
     record("backbone", (
-        lambda im, k: enc.apply(params, im, k, method=lambda m, i, kk: m.backbone(i, kk)),
-        (imgs, batch.context_intrinsics), perturb_img,
+        lambda p, im, k: enc.apply(p, im, k, method=lambda m, i, kk: m.backbone(i, kk)),
+        (params, imgs, batch.context_intrinsics), perturb_img,
     ))
 
     def bb_sty(m, i, kk, s):
@@ -124,13 +127,13 @@ def main():
         return m.token_stylizer(s, enc_feat, enc_pos)
 
     record("backbone+stylizer", (
-        lambda im, k, s: enc.apply(params, im, k, s, method=bb_sty),
-        (imgs, batch.context_intrinsics, style), perturb_img,
+        lambda p, im, k, s: enc.apply(p, im, k, s, method=bb_sty),
+        (params, imgs, batch.context_intrinsics, style), perturb_img,
     ))
 
     record("predict (enc+sty+heads+adapter)", (
-        lambda im, k, s: enc.apply(params, im, k, s),
-        (imgs, batch.context_intrinsics, style), perturb_img,
+        lambda p, im, k, s: enc.apply(p, im, k, s),
+        (params, imgs, batch.context_intrinsics, style), perturb_img,
     ))
 
     # -- render slices (fixed gaussians) ------------------------------------
@@ -169,10 +172,10 @@ def main():
     ))
 
     record("full forward", (
-        lambda bt_img: model.forward(
-            params, batch._replace(context_images=bt_img), (h, w), **render_kwargs
+        lambda p, bt_img: model.forward(
+            p, batch._replace(context_images=bt_img), (h, w), **render_kwargs
         )[1].color,
-        (batch.context_images,), perturb_img,
+        (params, batch.context_images), perturb_img,
     ))
 
     # Derived slices.
