@@ -308,6 +308,23 @@ class Trainer:
         )
         ckptr.save(path.absolute(), jax.device_get(payload))
         ckptr.wait_until_finished()
+        self._prune_checkpoints(path.parent)
+
+    def _prune_checkpoints(self, ckpt_dir: Path):
+        """Keep the newest `checkpointing.save_top_k` periodic checkpoints
+        (-1 keeps all — reference ModelCheckpoint save_top_k on the
+        monotonically increasing global_step monitor, main_style.py:80-90)."""
+        import shutil
+
+        k = self.cfg.checkpointing.save_top_k
+        if k is None or k < 0:
+            return
+        steps = sorted(
+            (d for d in Path(ckpt_dir).glob("step_*") if d.is_dir()),
+            key=lambda d: int(d.name.split("_")[1]),
+        )
+        for stale in steps[:-k] if k else steps:
+            shutil.rmtree(stale, ignore_errors=True)
 
     def load_params(self, path: Path, like):
         import orbax.checkpoint as ocp
