@@ -71,12 +71,20 @@ def main():
         carry, outs = jax.lax.scan(body, jnp.float32(0), None, length=n)
         return carry, outs
 
-    out = jax.block_until_ready(predict_and_render_n(params, batch))
-    assert bool(jnp.isfinite(out[1]).all()), "non-finite render"
+    # Timing note (axon remote backend): block_until_ready does not wait, so
+    # force host fetches and subtract the dispatch roundtrip.
+    out = predict_and_render_n(params, batch)
+    assert bool(jnp.isfinite(np.asarray(out[1])).all()), "non-finite render"
+
+    null = jax.jit(lambda x: x + 1.0)
+    float(null(jnp.float32(0)))
+    t0 = time.perf_counter()
+    float(null(jnp.float32(1)))
+    roundtrip = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    jax.block_until_ready(predict_and_render_n(params, batch))
-    per_step = (time.perf_counter() - t0) / n
+    float(predict_and_render_n(params, batch)[0])
+    per_step = max(time.perf_counter() - t0 - roundtrip, 1e-9) / n
     scenes_per_sec = args.batch / per_step
 
     print(

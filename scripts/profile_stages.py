@@ -36,21 +36,33 @@ def time_scan(fn, args, perturb, n):
     def run(args):
         def body(carry, _):
             out = fn(*perturb(args, carry))
-            # Touch EVERY output leaf: reducing only one would let XLA
-            # dead-code-eliminate the rest of the stage under test.
+            # Full-sum every output leaf: consuming only one element lets XLA
+            # dead-code-eliminate or narrow most of the stage under test
+            # (measured: a [0]-element reduction reported a 0.14 ms "ViT-L
+            # forward"). The reductions themselves are bandwidth-trivial.
             tot = sum(
-                leaf.reshape(-1)[0].astype(jnp.float32)
+                jnp.sum(leaf.astype(jnp.float32)) * 1e-12
                 for leaf in jax.tree_util.tree_leaves(out)
             )
-            return tot * 1e-12, ()
+            return carry * 0.5 + tot * 1e-12, ()
 
         carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
         return carry
 
-    jax.block_until_ready(run(args))  # compile + warm
+    # Timing on the axon remote backend: block_until_ready does NOT wait
+    # (experimental platform), so force a host fetch of the scalar result and
+    # subtract the measured dispatch roundtrip. Verified against a known-FLOPs
+    # matmul chain.
+    float(run(args))  # compile + warm
+    null = jax.jit(lambda x: x + 1.0)
+    float(null(jnp.float32(0)))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(args))
-    return (time.perf_counter() - t0) / n
+    float(null(jnp.float32(1)))
+    roundtrip = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(args))
+    total = time.perf_counter() - t0
+    return max(total - roundtrip, 0.0) / n
 
 
 def main():
@@ -156,9 +168,19 @@ def main():
             proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
             render_kwargs["max_tiles_per_gaussian"], opacities=op,
         )
-        st, _, sg = jax.lax.sort((pair_tiles, pair_depths, pair_gidx), num_keys=2)
-        starts = jnp.searchsorted(st, jnp.arange(gy * gx, dtype=st.dtype))
-        return starts.astype(jnp.float32).sum() + sg[0].astype(jnp.float32)
+        n_tiles = gy * gx
+        tile_bits = max(int(n_tiles + 1).bit_length(), 1)
+        depth_shift = jnp.uint32(32 - tile_bits)
+        depth_bits = jax.lax.bitcast_convert_type(
+            pair_depths.astype(jnp.float32), jnp.uint32
+        )
+        key = (pair_tiles.astype(jnp.uint32) << depth_shift) | (
+            depth_bits >> jnp.uint32(tile_bits)
+        )
+        sk, sg = jax.lax.sort((key, pair_gidx), num_keys=1)
+        stiles = (sk >> depth_shift).astype(jnp.int32)
+        starts = jnp.searchsorted(stiles, jnp.arange(n_tiles, dtype=jnp.int32))
+        return starts.astype(jnp.float32).sum() + sg.astype(jnp.float32).sum()
 
     record("project+bin+sort", (project_bin_sort, (means, covs, opas), perturb_means))
 

@@ -181,10 +181,23 @@ def render(
         proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
         max_tiles_per_gaussian, opacities=opacities,
     )
-    # One global lexicographic sort by (tile, depth) bins and depth-orders at once.
-    sorted_tiles, _, sorted_gidx = jax.lax.sort(
-        (pair_tiles, pair_depths, pair_gidx), num_keys=2
+    # One global sort by a single packed (tile, depth) key bins and
+    # depth-orders at once: tile id in the high bits, the top bits of the
+    # positive-f32 depth (monotone as unsigned) below. A 1-key u32 sort is
+    # ~2x cheaper than the 2-key lexicographic comparator on TPU; the only
+    # approximation is depth ties below 2^-(mantissa kept) relative — pairs
+    # that are visually order-free. (CUDA reference packs {tile, depth} into
+    # one 64-bit radix key the same way.)
+    tile_bits = max(int(n_tiles + 1).bit_length(), 1)
+    depth_shift = jnp.uint32(32 - tile_bits)
+    depth_bits = jax.lax.bitcast_convert_type(
+        pair_depths.astype(jnp.float32), jnp.uint32
     )
+    key = (pair_tiles.astype(jnp.uint32) << depth_shift) | (
+        depth_bits >> jnp.uint32(tile_bits)
+    )
+    sorted_key, sorted_gidx = jax.lax.sort((key, pair_gidx), num_keys=1)
+    sorted_tiles = (sorted_key >> depth_shift).astype(jnp.int32)
     tile_ids = jnp.arange(n_tiles, dtype=sorted_tiles.dtype)
     starts = jnp.searchsorted(sorted_tiles, tile_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tiles, tile_ids, side="right").astype(jnp.int32)
