@@ -75,6 +75,9 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--impl", default="auto")
     parser.add_argument("--output", default="")
+    parser.add_argument("--stages", default="",
+                        help="comma-separated stage names to run (default all); "
+                             "run stages in separate processes to bound device memory")
     args = parser.parse_args()
 
     import jax
@@ -119,14 +122,24 @@ def main():
     results = {}
     out_path = Path(args.output) if args.output else None
 
+    selected = [s.strip() for s in args.stages.split(",") if s.strip()]
+
     def record(name, fn_args):
+        if selected and not any(name.startswith(s) for s in selected):
+            return
         t0 = time.time()
         results[name] = time_scan(*fn_args, n=n)
         print(f"{name}: {1e3 * results[name] / b:.3f} ms/scene "
               f"(+{time.time() - t0:.0f}s compile+run)", flush=True)
         if out_path:
-            out_path.write_text(json.dumps(
-                {k: round(1e3 * v / b, 3) for k, v in results.items()}, indent=2))
+            merged = {}
+            if out_path.exists():
+                try:
+                    merged = json.loads(out_path.read_text())
+                except Exception:
+                    merged = {}
+            merged.update({k: round(1e3 * v / b, 3) for k, v in results.items()})
+            out_path.write_text(json.dumps(merged, indent=2))
 
     # -- encoder slices ------------------------------------------------------
     record("backbone", (
@@ -200,6 +213,8 @@ def main():
         (params, batch.context_images), perturb_img,
     ))
 
+    if selected:
+        return
     # Derived slices.
     derived = {
         "stylizer": results["backbone+stylizer"] - results["backbone"],

@@ -183,19 +183,25 @@ class DPTPts3dHead(nn.Module):
     patch_size: int = 16
     with_conf: bool = False
     dtype: Dtype = jnp.float32
+    # Optional bf16 compute for the conv trunk (params stay f32); the final
+    # two convs + exp postprocess always run f32 — pts3d positions are
+    # expm1-sensitive (the reference keeps whole heads f32 via no-autocast).
+    trunk_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, tokens: List[Array], image_size: Tuple[int, int]):
+        tdt = self.trunk_dtype or self.dtype
         path1 = DPTTrunk(
             hooks=self.hooks, layer_dims=self.layer_dims, feature_dim=self.feature_dim,
-            patch_size=self.patch_size, dtype=self.dtype, name="trunk",
+            patch_size=self.patch_size, dtype=tdt, name="trunk",
         )(tokens, image_size)
-        x = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, dtype=self.dtype, name="head_conv1")(path1)
+        x = nn.Conv(self.feature_dim // 2, (3, 3), padding=1, dtype=tdt, name="head_conv1")(path1)
         x = upsample2x(x)
-        x = nn.Conv(self.last_dim, (3, 3), padding=1, dtype=self.dtype, name="head_conv2")(x)
+        x = x.astype(jnp.float32)
+        x = nn.Conv(self.last_dim, (3, 3), padding=1, dtype=jnp.float32, name="head_conv2")(x)
         x = nn.relu(x)
         out_ch = 4 if self.with_conf else 3
-        x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="head_conv3")(x)
+        x = nn.Conv(out_ch, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
         pts = reg_dense_pts3d(x[..., :3])
         if self.with_conf:
             conf = 1.0 + jnp.exp(jnp.minimum(x[..., 3], 20.0))
@@ -288,6 +294,7 @@ class DPTGSHead(nn.Module):
     layer_dims: Sequence[int] = (96, 192, 384, 768)
     patch_size: int = 16
     dtype: Dtype = jnp.float32
+    trunk_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
@@ -297,15 +304,16 @@ class DPTGSHead(nn.Module):
         image_size: Tuple[int, int],
         deterministic: bool = True,
     ) -> Array:
+        tdt = self.trunk_dtype or self.dtype
         path1 = DPTTrunk(
             hooks=self.hooks, layer_dims=self.layer_dims, feature_dim=self.feature_dim,
-            patch_size=self.patch_size, dtype=self.dtype, name="trunk",
+            patch_size=self.patch_size, dtype=tdt, name="trunk",
         )(tokens, image_size)
         img_feat = nn.Conv(
-            self.feature_dim, (7, 7), padding=3, dtype=self.dtype, name="input_merger"
-        )(images)
+            self.feature_dim, (7, 7), padding=3, dtype=tdt, name="input_merger"
+        )(images.astype(tdt))
         img_feat = nn.relu(img_feat)
-        x = upsample2x(path1) + img_feat
+        x = (upsample2x(path1) + img_feat).astype(jnp.float32)
         return GSParamsTower(
             self.out_channels, self.feature_dim, dtype=self.dtype, name="head"
         )(x, deterministic)
@@ -321,6 +329,7 @@ class DPTGSSHHead(nn.Module):
     layer_dims: Sequence[int] = (96, 192, 384, 768)
     patch_size: int = 16
     dtype: Dtype = jnp.float32
+    trunk_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
@@ -329,11 +338,12 @@ class DPTGSSHHead(nn.Module):
         image_size: Tuple[int, int],
         deterministic: bool = True,
     ) -> Array:
+        tdt = self.trunk_dtype or self.dtype
         path1 = DPTTrunk(
             hooks=self.hooks, layer_dims=self.layer_dims, feature_dim=self.feature_dim,
-            patch_size=self.patch_size, dtype=self.dtype, name="trunk",
+            patch_size=self.patch_size, dtype=tdt, name="trunk",
         )(tokens, image_size)
-        x = upsample2x(path1)
+        x = upsample2x(path1).astype(jnp.float32)
         return GSParamsTower(
             self.out_channels, self.feature_dim, dtype=self.dtype, name="head"
         )(x, deterministic)

@@ -52,6 +52,9 @@ class Styl3rEncoder(nn.Module):
     opacity_final: float = 0.0
     opacity_warm_up: int = 1
     backbone_dtype: Dtype = jnp.float32
+    # Optional bf16 compute for the DPT conv trunks (params + final convs stay
+    # f32); default None keeps the reference's all-f32 heads.
+    head_trunk_dtype: Dtype = None
     # Trunk dims (ViT-L defaults; overridable for small-scale tests).
     enc_depth: int = 24
     dec_depth: int = 12
@@ -88,6 +91,7 @@ class Styl3rEncoder(nn.Module):
             hooks=hooks,
             feature_dim=self.head_feature_dim,
             layer_dims=self.head_layer_dims,
+            trunk_dtype=self.head_trunk_dtype,
         )
         self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
         self.head2 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
