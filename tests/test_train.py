@@ -347,3 +347,61 @@ def test_checkpoint_full_state_roundtrip(tmp_path):
     loaded2 = trainer.load_params_lazy(tmp_path / "ck")
     for a, b in zip(jax.tree.leaves(loaded2), jax.tree.leaves(params)):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_trainer_distillation_fit(tmp_path):
+    """Trainer-level distillation: teacher threading through the sharded
+    4-arg jitted step over the 8-device mesh (config re10k_style_distill)."""
+    from styl3r_tpu.models.distiller import Dust3RTeacher
+    from styl3r_tpu.utils.config import load_config
+    from styl3r_tpu.train.trainer import Trainer
+
+    cfg = load_config(
+        "configs/experiment/re10k_style_distill.yaml",
+        [
+            f"checkpointing.output_dir={tmp_path}",
+            "train.batch_size=8",
+            "train.log_every_n_steps=1",
+            "train.val_every_n_steps=100",
+            "losses.lpips=null",
+            "model.decoder.max_per_tile=128",
+            "model.decoder.max_tiles_per_gaussian=4",
+            "checkpointing.every_n_train_steps=100",
+        ],
+    )
+    assert cfg.train.distill_only and cfg.losses.distill == 0.1
+    tiny = dict(enc_depth=1, dec_depth=2, enc_dim=32, dec_dim=16, enc_heads=2,
+                dec_heads=2, head_feature_dim=16, head_last_dim=16,
+                head_layer_dims=(8, 8, 16, 16))
+    model = Styl3rModel(sh_degree=0, **tiny)
+    teacher = Dust3RTeacher(head_last_dim=8, **{k: v for k, v in tiny.items() if k != "head_last_dim"})
+    trainer = Trainer(cfg, model=model, teacher=teacher)  # random teacher warning
+    assert trainer.distill is not None and trainer.distill.distill_only
+
+    rng = np.random.default_rng(6)
+
+    def batches():
+        while True:
+            k = np.asarray([[0.9, 0, 0.5], [0, 0.9, 0.5], [0, 0, 1.0]], np.float32)
+            ext = np.broadcast_to(np.eye(4, dtype=np.float32), (8, 1, 4, 4)).copy()
+            yield Batch(
+                context_images=jnp.asarray(rng.uniform(0, 1, (8, 2, 16, 16, 3)), jnp.float32),
+                context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (8, 2, 3, 3)),
+                target_extrinsics=jnp.asarray(ext),
+                target_intrinsics=jnp.broadcast_to(jnp.asarray(k), (8, 1, 3, 3)),
+                target_near=jnp.full((8, 1), 0.5),
+                target_far=jnp.full((8, 1), 100.0),
+                style_image=jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 3)), jnp.float32),
+                target_images=jnp.asarray(rng.uniform(0, 1, (8, 1, 16, 16, 3)), jnp.float32),
+            )
+
+    state = trainer.fit(max_steps=2, batches=batches())
+    assert int(state.step) == 2
+    import json as _json
+
+    lines = [
+        _json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("distill" in l for l in lines)
+    assert all(np.isfinite(l["loss"]) for l in lines if "loss" in l)
