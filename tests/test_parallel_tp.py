@@ -1,0 +1,71 @@
+"""Tensor-parallel (Megatron-pattern) sharding over a 2-D (data, model)
+mesh: params sharded by parallel/tp.py rules, the full train step jitted with
+shardings propagating from the arguments, XLA SPMD inserting the collectives.
+Goes beyond the reference's DDP-only scaling (SURVEY.md §2.8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from __graft_entry__ import _example_batch
+from styl3r_tpu.models.styl3r import Styl3rModel
+from styl3r_tpu.parallel.tp import (
+    batch_sharding_2d,
+    make_mesh_2d,
+    shard_params_tp,
+    tensor_parallel_shardings,
+)
+from styl3r_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+
+@pytest.mark.slow
+def test_tensor_parallel_train_step():
+    mesh = make_mesh_2d(n_data=2, n_model=4)
+    model = Styl3rModel(
+        sh_degree=0, enc_depth=1, dec_depth=2, enc_dim=32, dec_dim=16,
+        enc_heads=2, dec_heads=2, head_feature_dim=16, head_last_dim=16,
+        head_layer_dims=(8, 8, 16, 16),
+    )
+    rng = np.random.default_rng(0)
+    batch = _example_batch(rng, b=2, v=2, h=16, w=16, t=1, style_hw=16)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    params = shard_params_tp(params, mesh)
+
+    # Sharding rules landed where intended.
+    blocks = params["params"]["backbone"]["encoder"]["enc_blocks_0"]
+    assert blocks["attn"]["qkv"]["kernel"].sharding.spec == P(None, "model")
+    assert blocks["attn"]["proj"]["kernel"].sharding.spec == P("model", None)
+    assert blocks["mlp"]["fc1"]["kernel"].sharding.spec == P(None, "model")
+    assert blocks["mlp"]["fc2"]["kernel"].sharding.spec == P("model", None)
+    norm = params["params"]["backbone"]["encoder"]["enc_norm"]["scale"]
+    assert norm.sharding.spec == P()
+    # Cross-attention projections in the decoder blocks too.
+    dec = params["params"]["backbone"]["dec_blocks_0"]
+    assert dec["cross_attn"]["projq"]["kernel"].sharding.spec == P(None, "model")
+
+    tx = make_optimizer(lr=1e-4, warmup_steps=0, total_steps=10)
+    opt_state = jax.jit(tx.init)(params)  # moments follow the param shardings
+    state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    sharded_batch = jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding_2d(mesh)), batch
+    )
+    step = jax.jit(
+        make_train_step(
+            model, tx, (16, 16), stylized=False,
+            max_per_tile=64, max_tiles_per_gaussian=4,
+        )
+    )
+    new_state, metrics = step(state, sharded_batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # TP shardings survive the optimizer update.
+    new_qkv = new_state.params["params"]["backbone"]["encoder"]["enc_blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(new_qkv.sharding.spec)
+
+    # The sharding-spec tree is total: every leaf got a (possibly replicated)
+    # NamedSharding on this mesh.
+    specs = tensor_parallel_shardings(params, mesh)
+    assert len(jax.tree_util.tree_leaves(specs)) == len(
+        jax.tree_util.tree_leaves(params)
+    )
