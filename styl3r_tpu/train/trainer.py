@@ -558,9 +558,17 @@ class Trainer:
         )
         if not stylized:
             batch = batch._replace(style_image=batch.context_images[:, 0])
-        gaussians, output = self.model.forward(
-            state.params, batch, (h, w), **render_kwargs
-        )
+        # One jitted forward per image shape (eager per-op dispatch through
+        # the remote-TPU tunnel would cost minutes per validation).
+        cache = getattr(self, "_val_forward_cache", None)
+        if cache is None:
+            cache = self._val_forward_cache = {}
+        key = (h, w)
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda p, b: self.model.forward(p, b, (h, w), **render_kwargs)
+            )
+        gaussians, output = cache[key](state.params, batch)
         b, v = output.color.shape[:2]
         pred = output.color.reshape(b * v, h, w, 3)
         gt = jnp.asarray(batch.target_images).reshape(b * v, h, w, 3)
@@ -595,14 +603,19 @@ class Trainer:
                 np.asarray(batch.target_intrinsics[0, 1]),
                 t,
             )[None]
-            traj = render_gaussians(
+            tkey = ("traj", h, w, len(t))
+            if tkey not in cache:
+                cache[tkey] = jax.jit(
+                    lambda g, e, k, nr, fr: render_gaussians(
+                        g, e, k, nr, fr, (h, w), **render_kwargs
+                    )
+                )
+            traj = cache[tkey](
                 jax.tree.map(lambda x: x[:1], gaussians),
                 jnp.asarray(ext),
                 jnp.asarray(intr),
                 jnp.broadcast_to(batch.target_near[:1, :1], (1, len(t))),
                 jnp.broadcast_to(batch.target_far[:1, :1], (1, len(t))),
-                (h, w),
-                **render_kwargs,
             )
             strip = np.concatenate(list(np.asarray(traj.color[0])), axis=1)
             self.logger.log_image(step, "val_trajectory", strip)
