@@ -89,6 +89,7 @@ def main(argv=None):
         rot_opt_lr=cfg.test.rot_opt_lr, trans_opt_lr=cfg.test.trans_opt_lr,
         lpips_apply=lpips_apply,
         output_path=Path(cfg.test.output_path), save_images=cfg.test.save_image,
+        save_videos=cfg.test.save_video,
         render_kwargs=render_kwargs,
     )
 

@@ -38,6 +38,8 @@ class EvalHarness:
         lpips_apply=None,
         output_path: Optional[Path] = None,
         save_images: bool = False,
+        save_videos: bool = False,
+        video_frames: int = 30,
         render_kwargs: Optional[Dict] = None,
     ):
         self.model = model
@@ -50,6 +52,9 @@ class EvalHarness:
         self.lpips_apply = lpips_apply
         self.output_path = Path(output_path) if output_path else None
         self.save_images = save_images
+        self.save_videos = save_videos
+        self.video_frames = video_frames
+        self._video_render = None
 
         self.tracker = MetricTracker()
         self.benchmarker = Benchmarker()
@@ -118,6 +123,38 @@ class EvalHarness:
             for i in range(b * t):
                 arr = (np.clip(np.asarray(pred[i]), 0, 1) * 255).astype(np.uint8)
                 Image.fromarray(arr).save(out_dir / f"{i:04d}.png")
+
+        # Per-scene interpolation video between the first and last target
+        # cameras (reference test_step's render_video_interpolation path).
+        if self.save_videos and self.output_path is not None and t >= 2:
+            from ..infer.cli import save_video
+            from ..infer.trajectory import interpolate_extrinsics, interpolate_intrinsics
+
+            s = np.linspace(0.0, 1.0, self.video_frames)
+            ext = interpolate_extrinsics(
+                np.asarray(extrinsics[0, 0]), np.asarray(extrinsics[0, -1]), s
+            )[None]
+            intr = interpolate_intrinsics(
+                np.asarray(batch.target_intrinsics[0, 0]),
+                np.asarray(batch.target_intrinsics[0, -1]), s,
+            )[None]
+            if self._video_render is None:
+                nf = self.video_frames
+                self._video_render = jax.jit(
+                    lambda g, e, k, nr, fr: render_gaussians(
+                        g, e, k, nr, fr, self.image_shape, **self.render_kwargs
+                    )
+                )
+            traj = self._video_render(
+                jax.tree.map(lambda x: x[:1], gaussians),
+                jnp.asarray(ext), jnp.asarray(intr),
+                jnp.broadcast_to(batch.target_near[:1, :1], (1, len(s))),
+                jnp.broadcast_to(batch.target_far[:1, :1], (1, len(s))),
+            )
+            save_video(
+                self.output_path / "videos" / f"{scene or 'scene'}",
+                np.asarray(traj.color[0]),
+            )
         return metrics, output
 
     def finish(self) -> Dict[str, float]:

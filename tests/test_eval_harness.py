@@ -110,7 +110,10 @@ def test_evaluate_cli_out_of_the_box(tmp_path):
         "datasets.0.input_image_shape=[32,32]",
         f"datasets.0.view_sampler.index_path={tmp_path / 'eval_index.json'}",
         f"test.output_path={tmp_path / 'out'}",
+        "test.save_video=true",
     ])
     assert "psnr/all" in means and np.isfinite(means["psnr/all"])
     assert (tmp_path / "out" / "scores.json").exists()
     assert (tmp_path / "out" / "benchmark.json").exists()
+    videos = list((tmp_path / "out" / "videos").glob("*/*.png"))
+    assert videos, "save_video produced no interpolation frames"
