@@ -50,6 +50,7 @@ def main(argv=None):
                 img = img.resize(size, Image.LANCZOS)
             return np.asarray(img, np.float32) / 255.0
 
+    results = {}
     for pred_dir in args.pred_dir:
         preds = collect_images(Path(pred_dir))
         common = sorted(set(gt) & set(preds))
@@ -67,10 +68,12 @@ def main(argv=None):
                 }
             )
         means = tracker.means()
+        results[pred_dir] = means
         print(
             f"{pred_dir} ({len(common)} images): "
             + " ".join(f"{k.split('/')[0]}={v:.4f}" for k, v in means.items() if k.endswith("/all"))
         )
+    return results
 
 
 if __name__ == "__main__":

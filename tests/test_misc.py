@@ -136,3 +136,30 @@ def test_resample_patch_embed_kernel():
     # identity when sizes match
     same = resample_patch_embed_kernel(kernel, (8, 8))
     np.testing.assert_array_equal(same, kernel)
+
+
+def test_compute_metrics_cli(tmp_path):
+    """Offline metric CLI smoke (reference src/scripts/compute_metrics.py):
+    matched file trees -> per-method PSNR/SSIM table."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+    import compute_metrics
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    gt = tmp_path / "gt"; pred = tmp_path / "pred"
+    for d in (gt / "scene_a", pred / "scene_a"):
+        d.mkdir(parents=True)
+    img = (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(gt / "scene_a" / "0000.png")
+    noisy = np.clip(img.astype(np.int16) + 10, 0, 255).astype(np.uint8)
+    Image.fromarray(noisy).save(pred / "scene_a" / "0000.png")
+
+    results = compute_metrics.main(
+        ["--gt-dir", str(gt), "--pred-dir", str(pred), "--cpu"]
+    )
+    ((method, metrics),) = results.items()
+    assert np.isfinite(metrics["psnr/all"]) and metrics["psnr/all"] > 20
+    assert 0.9 < metrics["ssim/all"] <= 1.0
