@@ -117,3 +117,48 @@ def test_evaluate_cli_out_of_the_box(tmp_path):
     assert (tmp_path / "out" / "benchmark.json").exists()
     videos = list((tmp_path / "out" / "videos").glob("*/*.png"))
     assert videos, "save_video produced no interpolation frames"
+
+
+@pytest.mark.slow
+def test_infer_re10k_and_eval_pose_cli(tmp_path):
+    """End-to-end CLI smokes for infer_re10k.py and eval_pose.py on a
+    synthetic chunk (random init — exercises the full flow, not quality)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import torch
+
+    import eval_pose
+    import infer_re10k
+    from tests.test_data import make_scene
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "re10k"
+    (root / "test").mkdir(parents=True)
+    scenes = [make_scene(rng, f"scene_{i}") for i in range(2)]
+    torch.save(scenes, root / "test" / "000000.torch")
+    (root / "test" / "index.json").write_text(
+        json.dumps({s["key"]: "000000.torch" for s in scenes})
+    )
+
+    out = infer_re10k.main([
+        "--cpu", "--tiny", "--data-root", str(root), "--scene", "scene_0",
+        "--size", "32", "--max-targets", "1", "--video-frames", "0",
+        "--output", str(tmp_path / "out"),
+    ])
+    pngs = list((tmp_path / "out").rglob("*.png"))
+    assert pngs, "infer_re10k produced no renders"
+
+    index = {
+        s["key"]: {"context": [0, 12], "target": [6], "overlap": 0.5}
+        for s in scenes
+    }
+    (tmp_path / "eval_index.json").write_text(json.dumps(index))
+    aucs = eval_pose.main([
+        "--cpu", "--tiny", "--max-scenes", "1", "--refine-steps", "2",
+        f"datasets.0.roots=[{root}]",
+        "datasets.0.input_image_shape=[32,32]",
+        f"datasets.0.view_sampler.index_path={tmp_path / 'eval_index.json'}",
+    ])
+    assert aucs is None or all(np.isfinite(v) for v in np.atleast_1d(list(aucs.values()) if isinstance(aucs, dict) else aucs))
