@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -128,7 +129,9 @@ def normalize_pointcloud(
         # reference's invalid_to_zeros + nnz denominator.
         norm_factor = jnp.sum(dis * wts, axis=1) / (jnp.sum(wts, axis=1) + 1e-8)
     elif mode == "median":
-        norm_factor = _masked_quantile(dis, wts, 0.5)
+        # Reference detaches the median scale (nanmedian(...).values.detach(),
+        # dust3r ptc geometry) — no gradient through the norm factor.
+        norm_factor = jax.lax.stop_gradient(_masked_quantile(dis, wts, 0.5))
     elif mode == "sqrt":
         norm_factor = (
             jnp.sum(jnp.sqrt(dis) * wts, axis=1) / (jnp.sum(wts, axis=1) + 1e-8)

@@ -94,9 +94,14 @@ def load_params(
     if path.is_dir():  # orbax
         import orbax.checkpoint as ocp
 
-        like = jax.device_get(jax.eval_shape(lambda: model.init(jax.random.key(0), example_batch)))
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path.absolute())
+        restored = ckptr.restore(path.absolute())
+        # Trainer.save_checkpoint(full=True) wraps params with opt_state/step;
+        # unwrap so model.apply sees a bare params tree (mirrors
+        # Trainer.load_params_lazy).
+        if isinstance(restored, dict) and "opt_state" in restored:
+            restored = restored["params"]
+        return restored
     from ..utils.checkpoint import convert_styl3r_encoder, load_torch_state_dict
 
     sd = load_torch_state_dict(str(path))

@@ -58,24 +58,33 @@ def make_optimizer(
     own schedule; requires `params` for the label pytree."""
 
     def group(lr_scale):
-        return optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.adamw(
-                make_schedule(lr * lr_scale, warmup_steps, total_steps),
-                b1=0.9,
-                b2=0.95,
-                weight_decay=weight_decay,
-            ),
+        return optax.adamw(
+            make_schedule(lr * lr_scale, warmup_steps, total_steps),
+            b1=0.9,
+            b2=0.95,
+            weight_decay=weight_decay,
         )
 
     if backbone_lr_multiplier != 1.0:
         if params is None:
             raise ValueError("backbone_lr_multiplier requires params")
+        if trainable_mask is not None:
+            raise ValueError(
+                "trainable_mask is not supported with backbone_lr_multiplier; "
+                "fold the freeze into per-group labels instead"
+            )
         labels = backbone_param_labels(params)
-        return optax.multi_transform(
-            {"backbone": group(backbone_lr_multiplier), "rest": group(1.0)}, labels
+        # Clip once by the GLOBAL norm across all params (Lightning
+        # gradient_clip_val=0.5 clips the whole gradient, not per group),
+        # then dispatch to per-group adamw.
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.multi_transform(
+                {"backbone": group(backbone_lr_multiplier), "rest": group(1.0)},
+                labels,
+            ),
         )
-    tx = group(1.0)
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip), group(1.0))
     if trainable_mask is not None:
         # Freeze masked-out params (the stage-2 style training freezes
         # everything except the stylizer decoder + appearance head;
@@ -171,6 +180,11 @@ def make_train_step(
             conf_threshold=distill.conf_threshold,
             normalize=False,
         )
+        if distill.distill_only:
+            # Stage-0 pretraining adds the distillation loss unweighted and
+            # ungated (the x0.1 and max_steps gate exist only in the full
+            # training path; model_wrapper_style.py:157-171 vs :234-242).
+            return raw
         gate = (jnp.asarray(global_step) <= distill.max_steps).astype(jnp.float32)
         return distill.weight * gate * raw
 
@@ -272,20 +286,25 @@ def make_stage2_optimizer(
     configure_optimizers' param groups."""
 
     def group(lr_scale):
-        return optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.adamw(
-                make_schedule(lr * lr_scale, warmup_steps, total_steps),
-                b1=0.9, b2=0.95, weight_decay=weight_decay,
-            ),
+        return optax.adamw(
+            make_schedule(lr * lr_scale, warmup_steps, total_steps),
+            b1=0.9, b2=0.95, weight_decay=weight_decay,
         )
 
     labels = stage2_param_labels(params)
-    return optax.multi_transform(
-        {
-            "new": group(1.0),
-            "pretrained": group(pretrained_lr_scale),
-            "frozen": optax.set_to_zero(),
-        },
-        labels,
+    frozen_mask = jax.tree.map(lambda l: l == "frozen", labels)
+    # Zero frozen grads FIRST so the single global-norm clip matches the
+    # reference (Lightning clips across all params that have grads, i.e. the
+    # new + pretrained groups only — frozen params have requires_grad=False).
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), frozen_mask),
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {
+                "new": group(1.0),
+                "pretrained": group(pretrained_lr_scale),
+                "frozen": optax.set_to_zero(),
+            },
+            labels,
+        ),
     )

@@ -143,16 +143,6 @@ def build_datasets(cfg: RootCfg, stage: str, seed: int, step_fn) -> List:
     return datasets
 
 
-def interleave_iterators(iterators: List[Iterator]) -> Iterator:
-    """Round-robin over per-dataset batch iterators, restarting exhausted ones."""
-    while True:
-        for i, it in enumerate(iterators):
-            try:
-                yield next(it)
-            except StopIteration:
-                return
-
-
 def endless_batches(make_iter, n_datasets: int) -> Iterator:
     """Infinite epoch-restarting stream over all datasets."""
     while True:
@@ -187,7 +177,16 @@ class Trainer:
         self.distill, self.teacher_params = self._build_distiller(cfg, teacher)
         self.mesh = make_mesh()
         self.output_dir = Path(cfg.checkpointing.output_dir)
-        self.logger = LocalLogger(self.output_dir)
+        wandb_cfg = getattr(cfg, "wandb", None)
+        self.logger = make_logger(
+            self.output_dir,
+            use_wandb=bool(wandb_cfg) and wandb_cfg.mode != "disabled",
+            **(
+                dict(project=wandb_cfg.project, name=wandb_cfg.name)
+                if wandb_cfg and wandb_cfg.mode != "disabled"
+                else {}
+            ),
+        )
         self._global_step = 0
 
     def _build_loss_bundle(self, cfg: RootCfg) -> LossBundle:
@@ -551,11 +550,23 @@ class Trainer:
         comparison grid, a short interpolated-trajectory strip, and (when an
         AdaIN checkpoint is configured) the 2-D AdaIN stylization baseline."""
         h, w = batch.context_images.shape[2:4]
-        render_kwargs = getattr(self, "_render_kwargs", None) or dict(
-            max_per_tile=self.cfg.model.decoder.max_per_tile,
-            max_tiles_per_gaussian=self.cfg.model.decoder.max_tiles_per_gaussian,
-            scale_invariant=self.cfg.model.decoder.make_scale_invariant,
-        )
+        render_kwargs = getattr(self, "_render_kwargs", None)
+        if render_kwargs is None:
+            # Build the fallback the same way fit() does so a standalone
+            # validate() call uses the configured impl/background, not
+            # silent jnp defaults.
+            impl = self.cfg.model.decoder.impl
+            if impl == "auto":
+                impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
+            render_kwargs = dict(
+                max_per_tile=self.cfg.model.decoder.max_per_tile,
+                max_tiles_per_gaussian=self.cfg.model.decoder.max_tiles_per_gaussian,
+                scale_invariant=self.cfg.model.decoder.make_scale_invariant,
+                background_color=jnp.asarray(
+                    self.cfg.model.decoder.background_color, jnp.float32
+                ),
+                impl=impl,
+            )
         if not stylized:
             batch = batch._replace(style_image=batch.context_images[:, 0])
         # One jitted forward per image shape (eager per-op dispatch through

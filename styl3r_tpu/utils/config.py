@@ -152,8 +152,21 @@ class TestCfg:
 
 
 @dataclass
+class WandbCfg:
+    """Reference config/main.yaml wandb block (main_style.py:61-77): mode
+    'disabled' uses the LocalLogger; anything else attempts wandb and falls
+    back to local logging if the package/network is unavailable."""
+
+    project: str = "styl3r_tpu"
+    entity: str = ""
+    name: str = ""
+    mode: str = "disabled"  # disabled | online | offline
+
+
+@dataclass
 class RootCfg:
     mode: str = "train"
+    wandb: WandbCfg = field(default_factory=WandbCfg)
     model: ModelCfg = field(default_factory=ModelCfg)
     losses: LossCfg = field(default_factory=LossCfg)
     datasets: List[DatasetCfg] = field(default_factory=lambda: [DatasetCfg()])
