@@ -8,14 +8,24 @@ Measures *device* throughput by scanning N forwards inside one jit — the
 dev-environment TPU sits behind a tunnel with ~25 ms per-dispatch RPC latency
 that would otherwise dominate; production serving pipelines dispatches.
 
+Memory defense (round 2's run died with RESOURCE_EXHAUSTED on the 16G chip):
+the ViT-L backbone + token-stylizer param subtrees are stored bf16 (their
+flax compute dtype is already bf16, so the cast is numerically identical and
+halves ~2.4 GB of residency), and an OOM during any attempt degrades to the
+next smaller measured config instead of rc=1.
+
 Run on the real TPU by default; --cpu --tiny for a quick smoke run.
 """
 
 import argparse
+import gc
 import json
+import sys
 import time
 
 import numpy as np
+
+BF16_SUBTREES = ("backbone", "token_stylizer")
 
 
 def main():
@@ -27,6 +37,14 @@ def main():
     parser.add_argument("--batch", type=int, default=1, help="scenes per step")
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--impl", default="auto", choices=["auto", "jnp", "pallas"])
+    parser.add_argument(
+        "--keep-f32-params", action="store_true",
+        help="skip the bf16 cast of the trunk param subtrees",
+    )
+    parser.add_argument(
+        "--extra", default="",
+        help="also write this JSON file with the measurement (e.g. BENCH_EXTRA.json)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -50,53 +68,111 @@ def main():
     )
     h = w = args.size if not args.tiny else 64
     rng = np.random.default_rng(0)
-    batch = _example_batch(rng, b=args.batch, v=args.views, h=h, w=w, t=1, style_hw=h)
-    params = jax.jit(model.init)(jax.random.key(0), batch)
 
-    render_kwargs = dict(impl=impl)
-    if args.tiny:
-        render_kwargs.update(max_per_tile=512, max_tiles_per_gaussian=8)
-    else:
-        render_kwargs.update(max_per_tile=2048, max_tiles_per_gaussian=8)
+    init_fn = jax.jit(model.init)
 
-    n = args.iters
+    def make_params(batch):
+        params = init_fn(jax.random.key(0), batch)
+        if args.keep_f32_params:
+            return params
 
-    @jax.jit
-    def predict_and_render_n(params, batch):
-        def body(carry, _):
-            # Perturb the input so XLA cannot CSE the iterations away.
-            b2 = batch._replace(context_images=batch.context_images + carry)
-            _, output = model.forward(params, b2, (h, w), **render_kwargs)
-            return output.color.mean() * 1e-12, output.color[0, 0, 0, 0, 0]
-        carry, outs = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return carry, outs
+        def cast(path, x):
+            top = next(
+                (getattr(p, "key", None) for p in path if getattr(p, "key", None) in BF16_SUBTREES),
+                None,
+            )
+            return x.astype(jnp.bfloat16) if top is not None and x.dtype == jnp.float32 else x
 
-    # Timing note (axon remote backend): block_until_ready does not wait, so
-    # force host fetches and subtract the dispatch roundtrip.
-    out = predict_and_render_n(params, batch)
-    assert bool(jnp.isfinite(np.asarray(out[1])).all()), "non-finite render"
-
-    null = jax.jit(lambda x: x + 1.0)
-    float(null(jnp.float32(0)))
-    t0 = time.perf_counter()
-    float(null(jnp.float32(1)))
-    roundtrip = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    float(predict_and_render_n(params, batch)[0])
-    per_step = max(time.perf_counter() - t0 - roundtrip, 1e-9) / n
-    scenes_per_sec = args.batch / per_step
-
-    print(
-        json.dumps(
-            {
-                "metric": f"scenes/sec/chip ({args.views}-view {h}x{w} b={args.batch} predict+render, {impl})",
-                "value": round(scenes_per_sec, 4),
-                "unit": "scenes/s",
-                "vs_baseline": round(scenes_per_sec / 1.0, 4),
-            }
+        # Donate the f32 tree so HBM never holds both copies.
+        caster = jax.jit(
+            lambda p: jax.tree_util.tree_map_with_path(cast, p), donate_argnums=0
         )
-    )
+        return caster(params)
+
+    def attempt(batch_size, max_per_tile, iters):
+        batch = _example_batch(rng, b=batch_size, v=args.views, h=h, w=w, t=1, style_hw=h)
+        params = make_params(batch)
+        render_kwargs = dict(impl=impl, max_tiles_per_gaussian=8)
+        render_kwargs["max_per_tile"] = max_per_tile
+
+        @jax.jit
+        def predict_and_render_n(params, batch):
+            def body(carry, _):
+                # Perturb the input so XLA cannot CSE the iterations away.
+                b2 = batch._replace(context_images=batch.context_images + carry)
+                _, output = model.forward(params, b2, (h, w), **render_kwargs)
+                return output.color.mean() * 1e-12, output.color[0, 0, 0, 0, 0]
+            carry, outs = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return carry, outs
+
+        # Timing note (axon remote backend): block_until_ready does not wait,
+        # so force host fetches and subtract the dispatch roundtrip.
+        out = predict_and_render_n(params, batch)
+        assert bool(jnp.isfinite(np.asarray(out[1])).all()), "non-finite render"
+
+        null = jax.jit(lambda x: x + 1.0)
+        float(null(jnp.float32(0)))
+        t0 = time.perf_counter()
+        float(null(jnp.float32(1)))
+        roundtrip = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        float(predict_and_render_n(params, batch)[0])
+        per_step = max(time.perf_counter() - t0 - roundtrip, 1e-9) / iters
+        return batch_size / per_step
+
+    def is_oom(exc) -> bool:
+        return "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc)
+
+    base_mpt = 512 if args.tiny else 2048
+    # Reduce-and-retry ladder: each step frees the previous attempt's buffers
+    # and tries a smaller footprint. The last rung is small enough for any 16G
+    # chip, so the script always emits a measurement.
+    ladder = [
+        dict(batch_size=args.batch, max_per_tile=base_mpt, iters=args.iters),
+        dict(batch_size=args.batch, max_per_tile=base_mpt // 2, iters=args.iters),
+        dict(batch_size=max(args.batch // 2, 1), max_per_tile=base_mpt // 2,
+             iters=max(args.iters // 2, 2)),
+        dict(batch_size=1, max_per_tile=base_mpt // 4, iters=2),
+    ]
+    # Drop duplicate rungs (e.g. when batch=1 already).
+    seen, configs = set(), []
+    for cfg in ladder:
+        key = tuple(sorted(cfg.items()))
+        if key not in seen:
+            seen.add(key)
+            configs.append(cfg)
+
+    scenes_per_sec = None
+    used = None
+    for i, cfg in enumerate(configs):
+        try:
+            scenes_per_sec = attempt(**cfg)
+            used = cfg
+            break
+        except Exception as exc:  # noqa: BLE001 — degrade on OOM, re-raise others
+            if not is_oom(exc) or i == len(configs) - 1:
+                raise
+            print(
+                f"attempt {cfg} hit OOM ({type(exc).__name__}); retrying smaller",
+                file=sys.stderr,
+            )
+            gc.collect()
+
+    params_note = "f32" if args.keep_f32_params else "bf16-trunk"
+    record = {
+        "metric": (
+            f"scenes/sec/chip ({args.views}-view {h}x{w} b={used['batch_size']} "
+            f"predict+render, {impl}, {params_note}, mpt={used['max_per_tile']})"
+        ),
+        "value": round(scenes_per_sec, 4),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / 1.0, 4),
+    }
+    if args.extra:
+        with open(args.extra, "w") as f:
+            json.dump(record, f, indent=2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

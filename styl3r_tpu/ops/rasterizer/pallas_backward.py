@@ -45,17 +45,6 @@ from .pallas_kernel import (
 )
 
 
-def _lane_scan(values: Array, lane: Array, op, identity: float) -> Array:
-    """Inclusive scan along the lane axis via log-step rolls."""
-    out = values
-    shift = 1
-    while shift < WINDOW:
-        rolled = pltpu.roll(out, shift, 1)
-        out = op(out, jnp.where(lane >= shift, rolled, identity))
-        shift *= 2
-    return out
-
-
 def _backward_kernel(
     starts_ref,  # SMEM (n_tiles,)
     counts_ref,  # SMEM (n_tiles,)
@@ -108,6 +97,12 @@ def _backward_kernel(
     def _():
         start_dma(jax.lax.rem(n_done - 1, 2), n_done - 1).start()
 
+    # Inclusive-scan matrix for the MXU (see pallas_kernel.py): one
+    # (P, W) x (W, W) matmul replaces each 7-round lane-roll scan.
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, WINDOW), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, WINDOW), 1)
+    scan_u = (row_i <= col_j).astype(jnp.float32)
+
     def body(state):
         w, t_cur, s_r, s_g, s_b, s_d = state
         slot = jax.lax.rem(w, 2)
@@ -147,11 +142,11 @@ def _backward_kernel(
         )
         alpha = jnp.where(live, alpha, 0.0)
 
-        m = 1.0 - alpha_fwd
-        inc = _lane_scan(m, lane, jnp.multiply, 1.0)
-        prod_w = inc[:, WINDOW - 1 :]
+        lm = jnp.log1p(-alpha_fwd)  # alpha_fwd <= 0.99 keeps this finite
+        cum = jnp.dot(lm, scan_u, preferred_element_type=jnp.float32)
+        prod_w = jnp.exp(cum[:, WINDOW - 1 :])
         t_ws = t_cur / jnp.maximum(prod_w, 1e-12)
-        excl = jnp.where(lane >= 1, pltpu.roll(inc, 1, 1), 1.0)
+        excl = jnp.exp(cum - lm)
         t_i = t_ws * excl  # transmittance before each gaussian
         weight = alpha_fwd * t_i
 
@@ -160,9 +155,10 @@ def _backward_kernel(
         c_b = a[A_B : A_B + 1, :]
         c_d = a[A_D : A_D + 1, :]
 
-        # Suffix sums (within window) of weighted contributions.
+        # Suffix sums (within window) of weighted contributions, via one MXU
+        # prefix-sum matmul per channel: suffix = total - inclusive_prefix.
         def suffix(q):
-            prefix = _lane_scan(q, lane, jnp.add, 0.0)
+            prefix = jnp.dot(q, scan_u, preferred_element_type=jnp.float32)
             total = prefix[:, WINDOW - 1 :]
             return total - prefix, total
 

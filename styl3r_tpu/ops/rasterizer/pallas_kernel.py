@@ -12,9 +12,11 @@ exactly 128 lanes):
     lane windows aligned to 128 (window start rounded down; out-of-range lanes
     masked), double-buffering the (16, 128) attr DMAs;
   * compute block: pixels on sublanes (256) x gaussians on lanes (128);
-    alpha evaluated for the whole block on the VPU, the within-window
-    exclusive transmittance product computed with a 7-round lane-roll
-    multiply scan, then weights reduced over lanes into per-pixel rgb/depth;
+    alpha evaluated for the whole block on the VPU; the within-window
+    exclusive transmittance product runs in log space as one (P, W) x (W, W)
+    triangular matmul on the MXU (a prefix-sum of log1p(-alpha)), and the
+    four per-pixel reductions (r, g, b, depth) fold into a single
+    (P, W) x (W, 4) MXU dot — the VPU only evaluates alphas and masks;
   * a while-loop exits early once every pixel's transmittance < 1e-4 (the
     CUDA kernel's per-pixel early-out, here per tile).
 
@@ -106,8 +108,15 @@ def _composite_kernel(
     def _():
         start_dma(0, 0).start()
 
+    # Inclusive-scan matrix: cum[p, j] = sum_{i <= j} x[p, i] = (x @ U)[p, j]
+    # with U[i, j] = 1 iff i <= j. One (P, W) x (W, W) matmul on the MXU
+    # replaces the 7-round lane-roll product scan (run in log space).
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, WINDOW), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, WINDOW), 1)
+    scan_u = (row_i <= col_j).astype(jnp.float32)
+
     def body(state):
-        w, rgb_r, rgb_g, rgb_b, dep, trans = state
+        w, acc, trans = state
         slot = jax.lax.rem(w, 2)
 
         @pl.when(w + 1 < n_windows)
@@ -132,37 +141,39 @@ def _composite_kernel(
         in_range = jnp.logical_and(gidx >= start, gidx < end)
         alpha = jnp.where(in_range, alpha, 0.0)
 
-        # Inclusive product scan of (1 - alpha) along the lane (gaussian)
-        # axis: log2(WINDOW) roll-multiply rounds.
-        m = 1.0 - alpha
-        inc = m
-        shift = 1
-        while shift < WINDOW:
-            rolled = pltpu.roll(inc, shift, 1)
-            inc = inc * jnp.where(lane >= shift, rolled, 1.0)
-            shift *= 2
-        excl = jnp.where(lane >= 1, pltpu.roll(inc, 1, 1), 1.0)
+        # Transmittance: exclusive product of (1 - alpha) along lanes, as an
+        # MXU prefix-sum of logs. alpha <= 0.99 keeps log1p finite (>= -4.7).
+        lm = jnp.log1p(-alpha)
+        cum = jnp.dot(lm, scan_u, preferred_element_type=jnp.float32)
+        excl = jnp.exp(cum - lm)
 
         weight = alpha * excl * trans  # trans (P, 1) broadcasts over lanes
-        rgb_r = rgb_r + jnp.sum(weight * a[A_R : A_R + 1, :], axis=1, keepdims=True)
-        rgb_g = rgb_g + jnp.sum(weight * a[A_G : A_G + 1, :], axis=1, keepdims=True)
-        rgb_b = rgb_b + jnp.sum(weight * a[A_B : A_B + 1, :], axis=1, keepdims=True)
-        dep = dep + jnp.sum(weight * a[A_D : A_D + 1, :], axis=1, keepdims=True)
-        trans = trans * inc[:, WINDOW - 1 :]
-        return w + 1, rgb_r, rgb_g, rgb_b, dep, trans
+        # One (P, W) x (W, 4->8) MXU dot folds the four lane reductions
+        # (r, g, b, depth); attr rows 6..10 are exactly [r, g, b, depth].
+        acc = acc + jax.lax.dot_general(
+            weight,
+            a[A_R : A_R + 4, :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, 4)
+        trans = trans * jnp.exp(cum[:, WINDOW - 1 :])
+        return w + 1, acc, trans
 
     def cond(state):
-        w, _, _, _, _, trans = state
+        w, _, trans = state
         return jnp.logical_and(w < n_windows, jnp.max(trans) > 1e-4)
 
-    zeros = jnp.zeros((P, 1), jnp.float32)
-    init = (jnp.int32(0), zeros, zeros, zeros, zeros, jnp.ones((P, 1), jnp.float32))
-    w_done, rgb_r, rgb_g, rgb_b, dep, trans = jax.lax.while_loop(cond, body, init)
+    init = (
+        jnp.int32(0),
+        jnp.zeros((P, 4), jnp.float32),
+        jnp.ones((P, 1), jnp.float32),
+    )
+    w_done, acc, trans = jax.lax.while_loop(cond, body, init)
 
-    out_ref[0, :, 0] = (rgb_r + trans * bg_ref[0])[:, 0]
-    out_ref[0, :, 1] = (rgb_g + trans * bg_ref[1])[:, 0]
-    out_ref[0, :, 2] = (rgb_b + trans * bg_ref[2])[:, 0]
-    out_ref[0, :, 3] = dep[:, 0]
+    out_ref[0, :, 0] = acc[:, 0] + trans[:, 0] * bg_ref[0]
+    out_ref[0, :, 1] = acc[:, 1] + trans[:, 0] * bg_ref[1]
+    out_ref[0, :, 2] = acc[:, 2] + trans[:, 0] * bg_ref[2]
+    out_ref[0, :, 3] = acc[:, 3]
     out_ref[0, :, 4] = 1.0 - trans[:, 0]
     # Bookkeeping for the backward pass: windows actually composited (the
     # early exit must be replayed exactly) and the final transmittance.

@@ -99,9 +99,17 @@ def _build_pairs(
     grid: Tuple[int, int],
     max_tiles_per_gaussian: int,
     opacities: Array = None,
+    conics: Array = None,
 ) -> Tuple[Array, Array, Array]:
     """Emit (tile_id, depth, gaussian_idx) pairs for every tile each gaussian
-    touches. Invalid slots get tile_id = n_tiles (sorts to the end)."""
+    touches. Invalid slots get tile_id = n_tiles (sorts to the end).
+
+    With `conics`, pairs whose gaussian cannot reach alpha >= 1/255 anywhere
+    in the tile are culled exactly (the compositor would zero them anyway):
+    the minimum of the conic quadratic over the tile's pixel-center rectangle
+    has a closed form (0 inside; else the min over the 4 edges, each a clamped
+    1-D quadratic). This is the ellipse-tile intersection test the CUDA
+    rasterizer's 3-sigma getRect bbox only approximates."""
     gy, gx = grid
     n_tiles = gy * gx
     g = means2d.shape[0]
@@ -126,8 +134,41 @@ def _build_pairs(
     offs = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)  # (m,)
     oy = offs[None, :] // rw[:, None]  # (g, m)
     ox = offs[None, :] % rw[:, None]
-    tile_id = (ty0[:, None] + oy) * gx + (tx0[:, None] + ox)
+    tile_x = tx0[:, None] + ox
+    tile_y = ty0[:, None] + oy
+    tile_id = tile_y * gx + tile_x
     valid = (offs[None, :] < area[:, None]) & mask[:, None] & (radii[:, None] > 0)
+
+    if conics is not None and opacities is not None:
+        # Exact ellipse-tile test: min over the tile's pixel-center rect
+        # [t*16, t*16+15]^2 of q(d) = 0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2
+        # (power = -q in the compositor). Keep iff op*exp(-min q) >= 1/255.
+        ca = jnp.maximum(conics[:, 0, None], 1e-12)
+        cb = conics[:, 1, None]
+        cc = jnp.maximum(conics[:, 2, None], 1e-12)
+        dx0 = tile_x.astype(means2d.dtype) * TILE - x[:, None]
+        dx1 = dx0 + (TILE - 1)
+        dy0 = tile_y.astype(means2d.dtype) * TILE - y[:, None]
+        dy1 = dy0 + (TILE - 1)
+
+        def q(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        def edge_x(d):  # fixed dx = d, minimize over dy in [dy0, dy1]
+            return q(d, jnp.clip(-cb * d / cc, dy0, dy1))
+
+        def edge_y(d):  # fixed dy = d, minimize over dx in [dx0, dx1]
+            return q(jnp.clip(-cb * d / ca, dx0, dx1), d)
+
+        min_q = jnp.minimum(
+            jnp.minimum(edge_x(dx0), edge_x(dx1)),
+            jnp.minimum(edge_y(dy0), edge_y(dy1)),
+        )
+        inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
+        min_q = jnp.where(inside, 0.0, min_q)
+        reachable = min_q <= jnp.log(255.0 * jnp.maximum(opacities[:, None], 1e-12))
+        valid = valid & reachable
+
     tile_id = jnp.where(valid, tile_id, n_tiles)
 
     pair_tiles = tile_id.reshape(g * max_tiles_per_gaussian)
@@ -179,7 +220,7 @@ def render(
 
     pair_tiles, pair_depths, pair_gidx = _build_pairs(
         proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
-        max_tiles_per_gaussian, opacities=opacities,
+        max_tiles_per_gaussian, opacities=opacities, conics=proj.conics,
     )
     # One global sort by a single packed (tile, depth) key bins and
     # depth-orders at once: tile id in the high bits, the top bits of the
