@@ -364,3 +364,239 @@ def test_ptc_geometry_matches_reference_source():
     )
     np.testing.assert_allclose(np.asarray(m_pts), r_pts, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(m_valid), r_valid)
+
+
+# ---------------------------------------------------------------------------
+# Full-encoder executed-reference parity (VERDICT r2 item 4): build the
+# reference's ENTIRE production encoder (multiview CroCo backbone + token
+# stylizer + pts3d/dpt_gs/dpt_gs_sh heads + unified adapter) from its own
+# source files at reduced dims, push its random weights through the converter,
+# and assert end-to-end Gaussian parity.
+# ---------------------------------------------------------------------------
+
+def _install_third_party_stubs():
+    """xformers / e3nn / torchvision stand-ins so the reference sources import.
+    The xformers stub implements exact attention (what the kernel computes)."""
+    if "xformers" not in sys.modules:
+        xf = types.ModuleType("xformers")
+        ops = types.ModuleType("xformers.ops")
+
+        def memory_efficient_attention(q, k, v, attn_bias=None, p=0.0, scale=None):
+            # xformers convention: (b, n, heads, dim).
+            if scale is None:
+                scale = q.shape[-1] ** -0.5
+            qh = q.permute(0, 2, 1, 3)
+            kh = k.permute(0, 2, 1, 3)
+            vh = v.permute(0, 2, 1, 3)
+            attn = (qh @ kh.transpose(-1, -2)) * scale
+            if attn_bias is not None:
+                attn = attn + attn_bias
+            out = attn.softmax(-1) @ vh
+            return out.permute(0, 2, 1, 3)
+
+        ops.memory_efficient_attention = memory_efficient_attention
+        xf.ops = ops
+        sys.modules["xformers"] = xf
+        sys.modules["xformers.ops"] = ops
+    if "e3nn" not in sys.modules:
+        e3nn = types.ModuleType("e3nn")
+        o3 = types.ModuleType("e3nn.o3")
+        o3.matrix_to_angles = None  # sh_rotation is bypassed by the adapter
+        o3.wigner_D = None
+        e3nn.o3 = o3
+        sys.modules["e3nn"] = e3nn
+        sys.modules["e3nn.o3"] = o3
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        models = types.ModuleType("torchvision.models")
+
+        class ResNet:  # symbol only; resnet/dino backbones are never built
+            pass
+
+        models.ResNet = ResNet
+        tv.models = models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = models
+
+
+_REF_PKGS = [
+    "refenc",
+    "refenc.dataset",
+    "refenc.dataset.shims",
+    "refenc.geometry",
+    "refenc.misc",
+    "refenc.model",
+    "refenc.model.encoder",
+    "refenc.model.encoder.backbone",
+    "refenc.model.encoder.backbone.croco",
+    "refenc.model.encoder.common",
+    "refenc.model.encoder.heads",
+    "refenc.model.encoder.token_stylizer",
+    "refenc.model.encoder.visualization",
+]
+
+
+def _load_reference_encoder_module():
+    """Load encoder_noposplat_multi_token_style.py with its real transitive
+    imports resolving against /root/reference/src (namespace-package stubs per
+    level; backbone/ and heads/ execute their real __init__.py)."""
+    _install_third_party_stubs()
+    for name in _REF_PKGS:
+        if name in sys.modules:
+            continue
+        mod = types.ModuleType(name)
+        rel = name.replace("refenc", "").replace(".", "/")
+        mod.__path__ = [str(REF) + rel]
+        sys.modules[name] = mod
+
+    def exec_mod(dotted, relfile, is_pkg=False):
+        full = f"refenc.{dotted}" if dotted else "refenc"
+        if full in sys.modules and getattr(sys.modules[full], "__spec__", None):
+            return sys.modules[full]
+        kwargs = {}
+        if is_pkg:
+            kwargs["submodule_search_locations"] = [str((REF / relfile).parent)]
+        spec = importlib.util.spec_from_file_location(full, REF / relfile, **kwargs)
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = full if is_pkg else full.rsplit(".", 1)[0]
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    # Real package __init__ for backbone/ and heads/ (they define the
+    # registry symbols the encoder imports).
+    exec_mod(
+        "model.encoder.backbone",
+        "model/encoder/backbone/__init__.py",
+        is_pkg=True,
+    )
+    exec_mod("model.encoder.heads", "model/encoder/heads/__init__.py", is_pkg=True)
+    return exec_mod(
+        "model.encoder.encoder_noposplat_multi_token_style",
+        "model/encoder/encoder_noposplat_multi_token_style.py",
+    )
+
+
+TINY_CROCO = {
+    "enc_depth": 2,
+    "dec_depth": 12,  # head factories assert dec_depth > 9 (real hooks 0/6/9/12)
+    "enc_embed_dim": 64,
+    "dec_embed_dim": 48,
+    "enc_num_heads": 2,
+    "dec_num_heads": 4,
+    "pos_embed": "RoPE100",
+    "img_size": (512, 512),
+}
+
+
+@pytest.mark.slow
+def test_full_encoder_matches_executed_reference():
+    """End-to-end: reference EncoderNoPoSplatMultiTokenStyle (executed from
+    /root/reference at reduced dims) -> convert_styl3r_encoder -> flax
+    Styl3rEncoder; Gaussian means/covariances/harmonics/opacities match
+    (encoder_noposplat_multi_token_style.py:136-251)."""
+    enc_mod = _load_reference_encoder_module()
+    bb_mod = sys.modules["refenc.model.encoder.backbone.backbone_croco_multiview"]
+    ts_mod = sys.modules["refenc.model.encoder.token_stylizer.token_stylizer"]
+    bb_mod.croco_params["ViTLarge_BaseDecoder"] = dict(TINY_CROCO)
+    ts_mod.croco_params["ViTLarge_BaseDecoder"] = dict(TINY_CROCO)
+
+    bc = sys.modules["refenc.model.encoder.backbone.backbone_croco"]
+    ga = sys.modules["refenc.model.encoder.common.gaussian_adapter"]
+    tscfg = ts_mod.TokenStylizerCfg(model="ViTLarge_BaseDecoder")
+    sb_mod = sys.modules["refenc.model.encoder.token_stylizer.structure_builder"]
+    viz = sys.modules["refenc.model.encoder.visualization.encoder_visualizer_epipolar_cfg"]
+    nts = sys.modules["refenc.model.encoder.encoder_noposplat_token_style"]
+
+    cfg = nts.EncoderNoPoSplatTokenStyleCfg(
+        name="noposplat_multi_token_style",
+        d_feature=32,
+        num_monocular_samples=1,
+        backbone=bc.BackboneCrocoCfg(
+            name="croco_multi",
+            model="ViTLarge_BaseDecoder",
+            intrinsics_embed_loc="encoder",
+            intrinsics_embed_type="token",
+        ),
+        token_stylizer=tscfg,
+        structure_builder=sb_mod.StructureBuilderCfg(model="ViTLarge_BaseDecoder"),
+        visualizer=viz.EncoderVisualizerEpipolarCfg(
+            num_samples=1, min_resolution=32, export_ply=False
+        ),
+        gaussian_adapter=ga.GaussianAdapterCfg(
+            gaussian_scale_min=0.5, gaussian_scale_max=15.0, sh_degree=0
+        ),
+        apply_bounds_shim=False,
+        opacity_mapping=enc_mod.OpacityMappingCfg(initial=0.0, final=0.0, warm_up=1),
+        gaussians_per_pixel=1,
+        num_surfaces=1,
+        gs_params_head_type="dpt_gs",
+        gs_sh_head_type="dpt_gs_sh",
+        pose_free=True,
+        stylized=True,
+    )
+
+    torch.manual_seed(5)
+    ref = enc_mod.EncoderNoPoSplatMultiTokenStyle(cfg)
+    # The reference hardcodes Linear(9, 1024) for the intrinsics token
+    # (backbone_croco_multiview.py:78); rebuild at the tiny enc dim.
+    ref.backbone.intrinsic_encoder = torch.nn.Linear(9, TINY_CROCO["enc_embed_dim"])
+    ref = ref.eval()
+
+    B, V, H, W = 1, 2, 64, 64
+    rng = np.random.default_rng(6)
+    images = rng.uniform(-1, 1, (B, V, 3, H, W)).astype(np.float32)
+    intr = np.tile(np.eye(3, dtype=np.float32), (B, V, 1, 1))
+    intr[..., 0, 0] = 0.9
+    intr[..., 1, 1] = 1.2
+    intr[..., :2, 2] = 0.5
+    style = rng.uniform(-1, 1, (B, 3, H, W)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_g = ref(
+            {
+                "image": torch.from_numpy(images),
+                "intrinsics": torch.from_numpy(intr),
+            },
+            {"image": torch.from_numpy(style)},
+            global_step=0,
+        )
+
+    from styl3r_tpu.models.encoder import Styl3rEncoder
+    from styl3r_tpu.utils.checkpoint import convert_styl3r_encoder
+
+    sd = {f"encoder.{k}": v for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_styl3r_encoder(sd))
+    mine = Styl3rEncoder(
+        sh_degree=0,
+        enc_depth=TINY_CROCO["enc_depth"],
+        dec_depth=TINY_CROCO["dec_depth"],
+        enc_dim=TINY_CROCO["enc_embed_dim"],
+        dec_dim=TINY_CROCO["dec_embed_dim"],
+        enc_heads=TINY_CROCO["enc_num_heads"],
+        dec_heads=TINY_CROCO["dec_num_heads"],
+    )
+    g = mine.apply(
+        params,
+        jnp.asarray(images.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(intr),
+        jnp.asarray(style.transpose(0, 2, 3, 1)),
+        global_step=0,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(g.means), ref_g.means.reshape(B, -1, 3).numpy(), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.opacities), ref_g.opacities.reshape(B, -1).numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.covariances),
+        ref_g.covariances.reshape(B, -1, 3, 3).numpy(),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.harmonics),
+        ref_g.harmonics.reshape(B, -1, 3, 1).numpy(),
+        atol=1e-4,
+    )
