@@ -61,6 +61,13 @@ class LocalLogger:
         arr = (np.clip(image, 0, 1) * 255).astype(np.uint8)
         Image.fromarray(arr).save(img_dir / f"{step:0>8}.png")
 
+    def log_video(self, step: int, name: str, frames: np.ndarray, fps: int = 10):
+        """(t, h, w, 3) float frames -> PNG sequence + mp4 when ffmpeg exists
+        (reference wandb video logging, model_wrapper_style.py:544-629)."""
+        from ..infer.cli import save_video
+
+        save_video(self.dir / name / f"{step:0>8}", np.asarray(frames), fps=fps)
+
 
 class WandbLogger(LocalLogger):
     """Optional Weights & Biases logging on top of the local logger
@@ -80,6 +87,13 @@ class WandbLogger(LocalLogger):
     def log_image(self, step: int, name: str, image: np.ndarray):
         super().log_image(step, name, image)
         self._wandb.log({name: self._wandb.Image(np.clip(image, 0, 1))}, step=step)
+
+    def log_video(self, step: int, name: str, frames: np.ndarray, fps: int = 10):
+        super().log_video(step, name, frames, fps=fps)
+        arr = (np.clip(np.asarray(frames), 0, 1) * 255).astype(np.uint8)
+        self._wandb.log(
+            {name: self._wandb.Video(arr.transpose(0, 3, 1, 2), fps=fps)}, step=step
+        )
 
 
 def make_logger(output_dir: Path, use_wandb: bool = False, **kwargs) -> LocalLogger:
@@ -630,6 +644,82 @@ class Trainer:
             )
             strip = np.concatenate(list(np.asarray(traj.color[0])), axis=1)
             self.logger.log_image(step, "val_trajectory", strip)
+
+        # Orthographic Gaussian projections (front/top/side) + camera
+        # wireframe plot (reference validation_in_3d.py render_projections +
+        # render_cameras, model_wrapper_style.py:544-629).
+        from ..models.decoder import render_orthographic
+        from ..utils.viz import annotate, draw_cameras_topdown, hcat, ortho_projection_cameras
+
+        proj_kwargs = {
+            k: render_kwargs[k]
+            for k in ("impl", "max_per_tile", "max_tiles_per_gaussian", "background_color")
+            if k in render_kwargs
+        }
+        exts, widths, heights, nears, fars = ortho_projection_cameras(
+            np.asarray(gaussians.means[0])
+        )
+        pkey = ("proj", 256)
+        if pkey not in cache:
+            cache[pkey] = jax.jit(
+                lambda g, e, wd, ht, nr, fr: render_orthographic(
+                    g, e, wd, ht, nr, fr, (256, 256), **proj_kwargs
+                )
+            )
+        proj = cache[pkey](
+            jax.tree.map(lambda x: x[:1], gaussians),
+            jnp.asarray(exts)[None], jnp.asarray(widths)[None],
+            jnp.asarray(heights)[None], jnp.asarray(nears)[None],
+            jnp.asarray(fars)[None],
+        )
+        proj_imgs = np.asarray(proj.color[0])
+        self.logger.log_image(
+            step,
+            "val_projections",
+            hcat(
+                annotate(proj_imgs[0], "front (xy)"),
+                annotate(proj_imgs[1], "top (xz)"),
+                annotate(proj_imgs[2], "side (zy)"),
+            ),
+        )
+        self.logger.log_image(
+            step,
+            "val_cameras",
+            draw_cameras_topdown(
+                np.asarray(batch.target_extrinsics[0]),
+                np.asarray(batch.target_intrinsics[0]),
+            ),
+        )
+
+        # Wobble video around the first target camera
+        # (src/visualization/camera_trajectory/wobble.py).
+        if n_trajectory_frames > 0:
+            from ..infer.trajectory import wobble_extrinsics
+
+            n_wob = max(n_trajectory_frames * 2, 8)
+            scene_scale = float(
+                np.percentile(np.abs(np.asarray(gaussians.means[0])), 90)
+            )
+            ext_w = wobble_extrinsics(
+                np.asarray(batch.target_extrinsics[0, 0]),
+                n=n_wob,
+                radius=0.05 * max(scene_scale, 1e-3),
+            )
+            wkey = ("wobble", h, w, n_wob)
+            if wkey not in cache:
+                cache[wkey] = jax.jit(
+                    lambda g, e, k, nr, fr: render_gaussians(
+                        g, e, k, nr, fr, (h, w), **render_kwargs
+                    )
+                )
+            wob = cache[wkey](
+                jax.tree.map(lambda x: x[:1], gaussians),
+                jnp.asarray(ext_w)[None],
+                jnp.broadcast_to(batch.target_intrinsics[:1, :1], (1, n_wob, 3, 3)),
+                jnp.broadcast_to(batch.target_near[:1, :1], (1, n_wob)),
+                jnp.broadcast_to(batch.target_far[:1, :1], (1, n_wob)),
+            )
+            self.logger.log_video(step, "val_wobble", np.asarray(wob.color[0]))
 
         # AdaIN 2-D stylization baseline (model_wrapper_style.py:260-308).
         if stylized and self.cfg.train.adain_baseline_weights:

@@ -214,3 +214,46 @@ def validation_gallery(
     if style_image is not None:
         rows.append(annotate(_to_image(style_image), "style"))
     return vcat(*rows)
+
+
+def ortho_projection_cameras(
+    means: np.ndarray, margin: float = 0.1
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Three axis-aligned orthographic cameras (front/top/side) covering a
+    gaussian cloud, for the reference's validation projections
+    (src/visualization/validation_in_3d.py render_projections). Returns
+    (extrinsics (3,4,4) c2w, width (3,), height (3,), near (3,), far (3,));
+    feed to models.decoder.render_orthographic.
+
+    Outlier-robust bounds: 2/98 percentiles of the means per axis.
+    """
+    pts = np.asarray(means, np.float64).reshape(-1, 3)
+    lo = np.percentile(pts, 2.0, axis=0)
+    hi = np.percentile(pts, 98.0, axis=0)
+    center = 0.5 * (lo + hi)
+    span = np.maximum(hi - lo, 1e-3)
+
+    # (rotation columns = camera x/y/z axes in world, in-plane axes, depth axis)
+    views = [
+        (np.eye(3), (0, 1), 2),  # front: looking along +z, x/y in plane
+        (np.asarray([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float64), (0, 2), 1),  # top
+        (np.asarray([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float64), (2, 1), 0),  # side
+    ]
+    exts, widths, heights, nears, fars = [], [], [], [], []
+    for rot, (ax_x, ax_y), ax_d in views:
+        ext = np.eye(4)
+        ext[:3, :3] = rot
+        ext[:3, 3] = center
+        exts.append(ext)
+        widths.append(span[ax_x] * (1 + 2 * margin))
+        heights.append(span[ax_y] * (1 + 2 * margin))
+        half = 0.5 * span[ax_d] * (1 + 2 * margin)
+        nears.append(-half)
+        fars.append(half)
+    return (
+        np.asarray(exts, np.float32),
+        np.asarray(widths, np.float32),
+        np.asarray(heights, np.float32),
+        np.asarray(nears, np.float32),
+        np.asarray(fars, np.float32),
+    )

@@ -272,6 +272,12 @@ def test_trainer_stage2_launch_and_validation_cadence(tmp_path):
     comparisons = list((tmp_path / "val_comparison").glob("*.png"))
     assert comparisons, "validation cadence produced no comparison image"
     assert list((tmp_path / "val_trajectory").glob("*.png"))
+    # Round-3 validation visuals (reference validation_in_3d + wobble):
+    # orthographic gaussian projections, camera wireframes, wobble video.
+    assert list((tmp_path / "val_projections").glob("*.png"))
+    assert list((tmp_path / "val_cameras").glob("*.png"))
+    wobble_dirs = list((tmp_path / "val_wobble").glob("*/"))
+    assert wobble_dirs and list(wobble_dirs[0].glob("*.png"))
 
 
 def test_registries():
