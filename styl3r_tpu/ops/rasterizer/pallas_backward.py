@@ -300,6 +300,9 @@ def scatter_window_grads(
     win_start = jnp.minimum(win_start, n_pairs - WINDOW)
     cols = win_start[:, :, None] + jnp.arange(WINDOW, dtype=starts.dtype)[None, None]
     cols = cols.reshape(-1)  # (n_tiles * max_windows * WINDOW)
-    vals = jnp.moveaxis(window_grads, 2, 0).reshape(ATTR_H, -1)
-    out = jnp.zeros((ATTR_H, n_pairs), jnp.float32)
-    return out.at[:, cols].add(vals)
+    # Row-major scatter-add (each scattered element is a contiguous 64-byte
+    # attribute row; minor-dim scatters vectorize on TPU), then one transpose
+    # back to the attribute-major layout — same trick as pack_attrs.
+    vals = jnp.moveaxis(window_grads, 2, 3).reshape(-1, ATTR_H)
+    out = jnp.zeros((n_pairs, ATTR_H), jnp.float32)
+    return out.at[cols].add(vals).T
