@@ -254,24 +254,35 @@ def batch_iterator(
     batch_size: int,
     prefetch: int = 2,
     drop_last: bool = True,
+    aspect_buckets: bool = False,
 ) -> Iterator:
     """Batched iterator with background prefetch: decode overlaps device
-    compute via a producer thread + bounded queue."""
+    compute via a producer thread + bounded queue.
+
+    With `aspect_buckets`, examples are grouped by image shape before
+    collation, so a mixed landscape/portrait stream yields shape-homogeneous
+    batches (one jitted graph per bucket) — the XLA-native equivalent of the
+    reference's per-sample ManyAR_PatchEmbed mixed batches
+    (croco/patch_embed.py:33-75)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
 
     def producer():
-        buf: List[Example] = []
+        buckets: dict = {}
         try:
             for ex in dataset:
+                key = tuple(ex.context.image.shape[1:3]) if aspect_buckets else None
+                buf = buckets.setdefault(key, [])
                 buf.append(ex)
                 if len(buf) == batch_size:
                     q.put(collate_examples(buf))
-                    buf = []
-            if buf and not drop_last:
-                q.put(collate_examples(buf))
+                    buckets[key] = []
+            if not drop_last:
+                for buf in buckets.values():
+                    if buf:
+                        q.put(collate_examples(buf))
         finally:
             q.put(None)
 

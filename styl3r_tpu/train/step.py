@@ -143,6 +143,7 @@ def make_train_step(
     stylized: bool = True,
     identity_branch: bool = False,
     distill: Optional[DistillCfg] = None,
+    portrait: bool = False,
     **render_kwargs,
 ):
     """Build the jittable train step.
@@ -198,7 +199,7 @@ def make_train_step(
                 # (model_wrapper_style.py:157-171).
                 _, aux = model.predict_gaussians(
                     params, batch, global_step=state.step, deterministic=False,
-                    return_aux=True, rngs={"dropout": rng},
+                    return_aux=True, rngs={"dropout": rng}, portrait=portrait,
                 )
                 l = distill_loss(aux["pts3d"], batch, teacher_params, state.step)
                 return l, {"distill": l}
@@ -211,6 +212,7 @@ def make_train_step(
                 deterministic=False,
                 rngs={"dropout": rng},
                 return_aux=distill is not None,
+                portrait=portrait,
                 **render_kwargs,
             )
             gaussians, output = fwd[0], fwd[1]
@@ -224,6 +226,7 @@ def make_train_step(
                     global_step=state.step,
                     deterministic=False,
                     rngs={"dropout": rng},
+                    portrait=portrait,
                     **render_kwargs,
                 )
             loss, metrics = loss_fn(

@@ -16,7 +16,7 @@ import json
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -473,16 +473,6 @@ class Trainer:
             background_color=jnp.asarray(cfg.model.decoder.background_color, jnp.float32),
             impl=impl,
         )
-        step_fn = make_train_step(
-            self.model,
-            tx,
-            (h, w),
-            loss_fn=self.loss_bundle,
-            stylized=stylized,
-            identity_branch=self.loss_bundle.needs_identity_branch(),
-            distill=self.distill,
-            **self._render_kwargs,
-        )
         repl = replicated_sharding(self.mesh)
         bshard = batch_sharding(self.mesh)
         teacher_params = None
@@ -493,15 +483,39 @@ class Trainer:
                     jax.random.key(2), jnp.zeros((1, 2, h, w, 3))
                 )
             teacher_params = jax.device_put(teacher_params, repl)
-            step_fn = jax.jit(
-                step_fn,
-                in_shardings=(repl, bshard, repl, repl),
-                out_shardings=(repl, repl),
-            )
-        else:
-            step_fn = jax.jit(
-                step_fn, in_shardings=(repl, bshard, repl), out_shardings=(repl, repl)
-            )
+
+        # One jitted step per (h, w) bucket: aspect-bucketed streams (mixed
+        # landscape/portrait, data/dataset.py batch_iterator) train portrait
+        # batches through the transpose-to-landscape path (ManyAR equivalent).
+        step_cache: Dict[Tuple[int, int], Any] = {}
+        self._step_cache = step_cache  # exposed for shape-bucket tests
+
+        def get_step_fn(hh: int, ww: int):
+            key = (hh, ww)
+            if key not in step_cache:
+                fn = make_train_step(
+                    self.model,
+                    tx,
+                    (hh, ww),
+                    loss_fn=self.loss_bundle,
+                    stylized=stylized,
+                    identity_branch=self.loss_bundle.needs_identity_branch(),
+                    distill=self.distill,
+                    portrait=hh > ww,
+                    **self._render_kwargs,
+                )
+                if self.distill is not None:
+                    fn = jax.jit(
+                        fn,
+                        in_shardings=(repl, bshard, repl, repl),
+                        out_shardings=(repl, repl),
+                    )
+                else:
+                    fn = jax.jit(
+                        fn, in_shardings=(repl, bshard, repl), out_shardings=(repl, repl)
+                    )
+                step_cache[key] = fn
+            return step_cache[key]
 
         state = jax.device_put(state, repl)
         rng = jax.random.key(cfg.train.seed + 1)
@@ -514,7 +528,8 @@ class Trainer:
             step_args = (state, sharded, jax.device_put(step_rng, repl))
             if self.distill is not None:
                 step_args += (teacher_params,)
-            state, metrics = step_fn(*step_args)
+            bh, bw = batch.context_images.shape[2:4]
+            state, metrics = get_step_fn(bh, bw)(*step_args)
             self._global_step = i + 1
 
             if (i + 1) % cfg.train.log_every_n_steps == 0:

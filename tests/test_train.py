@@ -411,3 +411,82 @@ def test_trainer_distillation_fit(tmp_path):
     ]
     assert any("distill" in l for l in lines)
     assert all(np.isfinite(l["loss"]) for l in lines if "loss" in l)
+
+
+def test_aspect_bucketed_mixed_ar_training(tmp_path):
+    """VERDICT r2 item 6: a mixed portrait+landscape stream trains through
+    exactly two jitted step graphs (aspect buckets at collation; the
+    landscape graph runs normally, the portrait graph via the ManyAR
+    transpose-to-landscape path)."""
+    from styl3r_tpu.utils.config import load_config
+    from styl3r_tpu.train.trainer import Trainer
+
+    cfg = load_config(
+        None,
+        [
+            f"checkpointing.output_dir={tmp_path}",
+            "losses.mse=1.0",
+            "train.val_every_n_steps=100",
+            "train.log_every_n_steps=1",
+            "model.decoder.max_per_tile=128",
+            "model.decoder.max_tiles_per_gaussian=4",
+            "checkpointing.every_n_train_steps=100",
+        ],
+    )
+    model = Styl3rModel(
+        sh_degree=0, enc_depth=1, dec_depth=2, enc_dim=32, dec_dim=16,
+        enc_heads=2, dec_heads=2, head_feature_dim=16, head_last_dim=16,
+        head_layer_dims=(8, 8, 16, 16),
+    )
+    trainer = Trainer(cfg, model=model)
+    rng = np.random.default_rng(9)
+
+    def make_batch(h, w):
+        n = 8  # divisible by the 8-device test mesh
+        k = np.asarray([[0.9, 0, 0.5], [0, 0.9, 0.5], [0, 0, 1.0]], np.float32)
+        ext = np.broadcast_to(np.eye(4, dtype=np.float32), (n, 1, 4, 4)).copy()
+        return Batch(
+            context_images=jnp.asarray(rng.uniform(0, 1, (n, 2, h, w, 3)), jnp.float32),
+            context_intrinsics=jnp.broadcast_to(jnp.asarray(k), (n, 2, 3, 3)),
+            target_extrinsics=jnp.asarray(ext),
+            target_intrinsics=jnp.broadcast_to(jnp.asarray(k), (n, 1, 3, 3)),
+            target_near=jnp.full((n, 1), 0.5),
+            target_far=jnp.full((n, 1), 100.0),
+            style_image=jnp.asarray(rng.uniform(0, 1, (n, 16, 16, 3)), jnp.float32),
+            target_images=jnp.asarray(rng.uniform(0.4, 0.6, (n, 1, h, w, 3)), jnp.float32),
+        )
+
+    def batches():
+        while True:
+            yield make_batch(16, 32)  # landscape
+            yield make_batch(32, 16)  # portrait
+
+    state = trainer.fit(max_steps=4, batches=batches())
+    assert int(state.step) == 4
+    assert set(trainer._step_cache.keys()) == {(16, 32), (32, 16)}
+
+
+def test_batch_iterator_aspect_buckets():
+    """batch_iterator(aspect_buckets=True) groups a mixed-shape stream into
+    shape-homogeneous batches."""
+    from styl3r_tpu.data.dataset import batch_iterator
+
+    class _Views:
+        def __init__(self, img):
+            self.image = img
+            self.intrinsics = np.eye(3, dtype=np.float32)[None].repeat(img.shape[0], 0)
+            self.extrinsics = np.eye(4, dtype=np.float32)[None].repeat(img.shape[0], 0)
+            self.near = np.full((img.shape[0],), 0.5, np.float32)
+            self.far = np.full((img.shape[0],), 10.0, np.float32)
+
+    class _Ex:
+        def __init__(self, h, w):
+            self.context = _Views(np.zeros((2, h, w, 3), np.float32))
+            self.target = _Views(np.zeros((1, h, w, 3), np.float32))
+            self.style_image = np.zeros((16, 16, 3), np.float32)
+
+    stream = [_Ex(16, 32), _Ex(32, 16), _Ex(16, 32), _Ex(32, 16)]
+    batches = list(batch_iterator(stream, batch_size=2, aspect_buckets=True))
+    shapes = sorted(b.context_images.shape[2:4] for b in batches)
+    assert shapes == [(16, 32), (32, 16)]
+    assert all(b.context_images.shape[0] == 2 for b in batches)
