@@ -600,3 +600,163 @@ def test_full_encoder_matches_executed_reference():
         ref_g.harmonics.reshape(B, -1, 3, 1).numpy(),
         atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Legacy stylizer family vs the executed reference (stylizer/stylizer.py +
+# stylizer/vgg.py): NormalizedVGG slices, Linear3D (LST), AdaIN3D, AdaAttN3D.
+# ---------------------------------------------------------------------------
+
+
+def _load_reference_stylizer():
+    # `from src.misc.nn_module_tools import convert_to_buffer` (absolute).
+    for nm in ("src", "src.misc"):
+        if nm not in sys.modules:
+            mod = types.ModuleType(nm)
+            mod.__path__ = [str(REF / nm.replace("src", "").replace(".", "/"))]
+            sys.modules[nm] = mod
+    spec = importlib.util.spec_from_file_location(
+        "src.misc.nn_module_tools", REF / "misc/nn_module_tools.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["src.misc.nn_module_tools"] = mod
+    spec.loader.exec_module(mod)
+
+    pkg = types.ModuleType("refsty")
+    pkg.__path__ = [str(REF / "model/encoder/stylizer")]
+    sys.modules["refsty"] = pkg
+    for sub in ("vgg", "stylizer"):
+        spec = importlib.util.spec_from_file_location(
+            f"refsty.{sub}", REF / f"model/encoder/stylizer/{sub}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = "refsty"
+        sys.modules[f"refsty.{sub}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["refsty.stylizer"], sys.modules["refsty.vgg"]
+
+
+def _patched_vgg_load(vgg_mod):
+    """NormalizedVGG(pretrained=True) loads ckpts/vgg_normalised.pth; patch
+    torch.load to hand back a seeded random state dict instead."""
+    torch.manual_seed(21)
+    sd = vgg_mod.make_vgg("max").state_dict()
+    orig = torch.load
+
+    def fake_load(path, *a, **k):
+        if "vgg_normalised" in str(path):
+            return sd
+        return orig(path, *a, **k)
+
+    return sd, fake_load
+
+
+@pytest.mark.slow
+def test_normalized_vgg_matches_reference_source():
+    sty_mod, vgg_mod = _load_reference_stylizer()
+    from styl3r_tpu.models.stylizers import NormalizedVGG, convert_normalized_vgg
+
+    sd, fake_load = _patched_vgg_load(vgg_mod)
+    torch.load, orig = fake_load, torch.load
+    try:
+        ref = vgg_mod.NormalizedVGG(layer=None, pool="max", pretrained=True).eval()
+    finally:
+        torch.load = orig
+
+    rng = np.random.default_rng(22)
+    img = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        r = ref(torch.from_numpy(img).permute(0, 3, 1, 2))
+    params = jax.tree.map(jnp.asarray, convert_normalized_vgg(sd))
+    outs = NormalizedVGG(layer=None).apply(params, jnp.asarray(img))
+    assert len(outs) == 5 and len(r) == 5
+    for mine_o, ref_o in zip(outs, r):
+        np.testing.assert_allclose(
+            np.asarray(mine_o), ref_o.permute(0, 2, 3, 1).numpy(), atol=2e-4
+        )
+
+
+@pytest.mark.slow
+def test_legacy_stylizers_match_reference_source():
+    """Linear3D (LST), AdaIN3D, AdaAttN3D vs the executed reference classes
+    (stylizer.py:75-284), weights converted from their state dicts."""
+    sty_mod, vgg_mod = _load_reference_stylizer()
+    from styl3r_tpu.models.stylizers import (
+        AdaAttN3DStylizer,
+        AdaIN3DStylizer,
+        Linear3DStylizer,
+        _convert_conv1d_chain,
+        convert_lst,
+        convert_normalized_vgg,
+    )
+
+    sd_vgg, fake_load = _patched_vgg_load(vgg_mod)
+    rng = np.random.default_rng(23)
+    B, N, C, H, W = 2, 40, 256, 32, 32
+    style = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    feats = rng.normal(size=(B, N, C)).astype(np.float32)
+    t_style = torch.from_numpy(style).permute(0, 3, 1, 2)
+    t_feats = torch.from_numpy(feats).transpose(2, 1)  # (b, c, n)
+
+    torch.load, orig = fake_load, torch.load
+    try:
+        torch.manual_seed(31)
+        ref_lin = sty_mod.Linear3DStylizer(vgg_layer=3).eval()
+        torch.manual_seed(32)
+        ref_adain = sty_mod.AdaIN3DStylizer(vgg_layer=3, n_zip_layers=2).eval()
+        torch.manual_seed(33)
+        ref_attn = sty_mod.AdaAttN3DStylizer(C, vgg_layer=3, n_zip_layers=2).eval()
+    finally:
+        torch.load = orig
+
+    vgg_params = convert_normalized_vgg(sd_vgg)["params"]
+
+    # Linear3D / LST.
+    with torch.no_grad():
+        r_lin = ref_lin(t_style, t_feats).transpose(2, 1).numpy()
+    p = {"params": {"vgg": vgg_params, "lst": convert_lst(ref_lin.state_dict(), "lst")}}
+    m_lin = Linear3DStylizer(vgg_layer=3).apply(
+        jax.tree.map(jnp.asarray, p), jnp.asarray(style), jnp.asarray(feats)
+    )
+    np.testing.assert_allclose(np.asarray(m_lin), r_lin, atol=3e-3, rtol=1e-4)
+
+    # AdaIN3D.
+    with torch.no_grad():
+        r_ad = ref_adain(t_style, t_feats).transpose(2, 1).numpy()
+    sd = ref_adain.state_dict()
+    p = {
+        "params": {
+            "vgg": vgg_params,
+            "zipper": _convert_conv1d_chain(sd, "zipper", 2),
+            "unzipper": _convert_conv1d_chain(sd, "unzipper", 2),
+        }
+    }
+    m_ad = AdaIN3DStylizer(vgg_layer=3, n_zip_layers=2).apply(
+        jax.tree.map(jnp.asarray, p), jnp.asarray(style), jnp.asarray(feats)
+    )
+    np.testing.assert_allclose(np.asarray(m_ad), r_ad, atol=2e-4)
+
+    # AdaAttN3D.
+    with torch.no_grad():
+        r_at = ref_attn(t_style, t_feats).transpose(2, 1).numpy()
+    sd = ref_attn.state_dict()
+
+    def dense_from_conv1d(prefix):
+        w = sd[f"{prefix}.weight"].numpy()[:, :, 0]
+        return {"kernel": w.T, "bias": sd[f"{prefix}.bias"].numpy()}
+
+    p = {
+        "params": {
+            "vgg": vgg_params,
+            "q_zipper": _convert_conv1d_chain(sd, "q_zipper", 2),
+            "v_zipper": _convert_conv1d_chain(sd, "v_zipper", 2),
+            "v_unzipper": _convert_conv1d_chain(sd, "v_unzipper", 2),
+            "q_embed": dense_from_conv1d("adaattn.q_embed"),
+            "k_embed": dense_from_conv1d("adaattn.k_embed"),
+            "s_embed": dense_from_conv1d("adaattn.s_embed"),
+        }
+    }
+    m_at = AdaAttN3DStylizer(C, vgg_layer=3, n_zip_layers=2).apply(
+        jax.tree.map(jnp.asarray, p), jnp.asarray(style), jnp.asarray(feats)
+    )
+    np.testing.assert_allclose(np.asarray(m_at), r_at, atol=3e-4)
