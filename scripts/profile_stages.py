@@ -197,6 +197,54 @@ def main():
 
     record("project+bin+sort", (project_bin_sort, (means, covs, opas), perturb_means))
 
+    # -- kernel-isolation slices (share one precomputed bin/sort) ------------
+    from styl3r_tpu.ops.rasterizer.pallas_kernel import (
+        composite_tiles_pallas, pack_attrs,
+    )
+    from styl3r_tpu.ops.rasterizer.render import composite_pallas_diff
+
+    proj0 = jax.jit(lambda mns: project_gaussians(cam, mns, covs))(means)
+    pair_tiles, pair_depths, pair_gidx = _build_pairs(
+        proj0.means2d, proj0.radii, proj0.depths, proj0.mask, (gy, gx),
+        render_kwargs["max_tiles_per_gaussian"], opacities=opas,
+        conics=proj0.conics,
+    )
+    n_tiles = gy * gx
+    tile_bits = max(int(n_tiles + 1).bit_length(), 1)
+    depth_shift = jnp.uint32(32 - tile_bits)
+    depth_bits = jax.lax.bitcast_convert_type(pair_depths.astype(jnp.float32), jnp.uint32)
+    key = (pair_tiles.astype(jnp.uint32) << depth_shift) | (depth_bits >> jnp.uint32(tile_bits))
+    skey, sgidx = jax.lax.sort((key, pair_gidx), num_keys=1)
+    stiles = (skey >> depth_shift).astype(jnp.int32)
+    tids = jnp.arange(n_tiles, dtype=stiles.dtype)
+    starts0 = jnp.searchsorted(stiles, tids, side="left").astype(jnp.int32)
+    ends0 = jnp.searchsorted(stiles, tids, side="right").astype(jnp.int32)
+    counts0 = jnp.minimum(ends0 - starts0, render_kwargs["max_per_tile"])
+    dirs0 = means - cam.cam_pos
+    dirs0 = dirs0 / jnp.maximum(jnp.linalg.norm(dirs0, axis=-1, keepdims=True), 1e-8)
+    colors0 = jax.jit(eval_sh)(shs, dirs0)
+    print(f"[kernel slices] pairs in tiles: {int((pair_tiles < n_tiles).sum())} "
+          f"/ {pair_tiles.shape[0]}; counts: mean {float(counts0.mean()):.0f} "
+          f"max {int(counts0.max())}", flush=True)
+
+    record("pack_attrs (gather)", (
+        lambda mns2d: pack_attrs(mns2d, proj0.conics, opas.astype(jnp.float32),
+                                 colors0, proj0.depths, sgidx).sum() * 1e-12,
+        (proj0.means2d,), perturb_means,
+    ))
+
+    attrs0 = jax.jit(pack_attrs)(proj0.means2d, proj0.conics,
+                                 opas.astype(jnp.float32), colors0, proj0.depths, sgidx)
+    bg0 = jnp.zeros((3,), jnp.float32)
+
+    record("composite kernel only", (
+        lambda a: composite_tiles_pallas(
+            a, starts0, counts0, bg0, (gy, gx),
+            max_per_tile=render_kwargs["max_per_tile"],
+        )[0].sum() * 1e-12,
+        (attrs0,), lambda args, c: (args[0] + c,),
+    ))
+
     record("render (proj+sort+composite)", (
         lambda mns: render_gaussians(
             gaussians._replace(means=mns), batch.target_extrinsics,
