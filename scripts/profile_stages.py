@@ -245,6 +245,18 @@ def main():
         (attrs0,), lambda args, c: (args[0] + c,),
     ))
 
+    from styl3r_tpu.ops.rasterizer.render import render as render_one_view
+
+    record("render unbatched (no vmap)", (
+        lambda mns: render_one_view(
+            cam, mns, covs, shs, opas, (h, w),
+            max_tiles_per_gaussian=render_kwargs["max_tiles_per_gaussian"],
+            max_per_tile=render_kwargs["max_per_tile"],
+            impl=impl,
+        ).color,
+        (means,), perturb_means,
+    ))
+
     record("render (proj+sort+composite)", (
         lambda mns: render_gaussians(
             gaussians._replace(means=mns), batch.target_extrinsics,

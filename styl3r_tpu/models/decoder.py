@@ -17,6 +17,7 @@ from jax import Array
 
 from ..geometry.gaussians import Gaussians
 from ..ops.rasterizer import make_raster_camera, render
+from ..ops.rasterizer.render import render_many
 
 
 class DecoderOutput(NamedTuple):
@@ -52,48 +53,57 @@ def render_gaussians(
         (cuda_splatting.py:64-72) to avoid numerical issues with tiny nears.
     """
     b, v = extrinsics.shape[:2]
+    n = b * v
     h, w = image_shape
     if background_color is None:
         background_color = jnp.zeros((3,), jnp.float32)
     background_color = jnp.broadcast_to(background_color, (b, v, 3))
-
-    means = gaussians.means
-    covs = gaussians.covariances
-    shs = gaussians.harmonics
-    opas = gaussians.opacities
 
     if cam_rot_delta is None:
         cam_rot_delta = jnp.zeros((b, v, 3), extrinsics.dtype)
     if cam_trans_delta is None:
         cam_trans_delta = jnp.zeros((b, v, 3), extrinsics.dtype)
 
-    def render_one(ext, intr, nr, fr, bg, rot_d, trans_d, mns, cvs, sh, op):
-        if scale_invariant:
-            scale = 1.0 / nr
-            ext = ext.at[:3, 3].multiply(scale)
-            mns = mns * scale
-            cvs = cvs * scale**2
-            nr = nr * scale
-            fr = fr * scale
-        cam = make_raster_camera(
-            ext, intr, nr, fr, image_shape, cam_rot_delta=rot_d, cam_trans_delta=trans_d
-        )
-        return render(
-            cam, mns, cvs, sh, op, image_shape, bg,
-            max_tiles_per_gaussian=max_tiles_per_gaussian,
-            max_per_tile=max_per_tile,
-            chunk=chunk,
-            impl=impl,
-        )
+    # Fused multi-view path: gather each view's (scene-shared) gaussians,
+    # apply per-view scale-invariance, then ONE render_many call — a single
+    # global sort + kernel launch for all (b, v) views (a vmapped lax.sort
+    # costs more than the whole unbatched render on TPU).
+    vidx = jnp.arange(n) // v  # view -> batch index
+    ext = extrinsics.reshape(n, 4, 4)
+    intr = intrinsics.reshape(n, 3, 3)
+    nr = near.reshape(n).astype(jnp.float32)
+    fr = far.reshape(n).astype(jnp.float32)
+    mns = gaussians.means[vidx]  # (n, g, 3)
+    cvs = gaussians.covariances[vidx]
+    shs = gaussians.harmonics[vidx]
+    opas = gaussians.opacities[vidx]
 
-    # vmap over views (gaussians shared), then over batch.
-    per_view = jax.vmap(render_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None))
-    per_batch = jax.vmap(per_view, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
-    out = per_batch(
-        extrinsics, intrinsics, near, far, background_color,
-        cam_rot_delta, cam_trans_delta, means, covs, shs, opas,
+    if scale_invariant:
+        scale = (1.0 / nr)[:, None]
+        ext = ext.at[:, :3, 3].multiply(scale)
+        mns = mns * scale[..., None]
+        cvs = cvs * (scale**2)[..., None, None]
+        nr = nr * scale[:, 0]
+        fr = fr * scale[:, 0]
+
+    cams = make_raster_camera(
+        ext, intr, nr, fr, image_shape,
+        cam_rot_delta=cam_rot_delta.reshape(n, 3),
+        cam_trans_delta=cam_trans_delta.reshape(n, 3),
     )
-    return DecoderOutput(color=out.color, depth=out.depth, alpha=out.alpha)
+    out = render_many(
+        cams, mns, cvs, shs, opas, image_shape,
+        background_color.reshape(n, 3),
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_per_tile=max_per_tile,
+        chunk=chunk,
+        impl=impl,
+    )
+    return DecoderOutput(
+        color=out.color.reshape(b, v, h, w, 3),
+        depth=out.depth.reshape(b, v, h, w),
+        alpha=out.alpha.reshape(b, v, h, w),
+    )
 
 
 def render_orthographic(

@@ -61,8 +61,10 @@ def _backward_kernel(
     grid_x: int,
     max_windows: int,
     n_pairs: int,
+    tiles_per_view: int,
 ):
     t = pl.program_id(0)
+    tv = jax.lax.rem(t, tiles_per_view)  # within-view tile (fused multi-view)
     start = starts_ref[t]
     count = counts_ref[t]
     end = start + count
@@ -71,8 +73,8 @@ def _backward_kernel(
 
     grad_ref[...] = jnp.zeros(grad_ref.shape, jnp.float32)
 
-    ty = t // grid_x
-    tx = t % grid_x
+    ty = tv // grid_x
+    tx = jax.lax.rem(tv, grid_x)
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, WINDOW), 0)
     px = (tx * TILE + pix % TILE).astype(jnp.float32)
     py = (ty * TILE + pix // TILE).astype(jnp.float32)
@@ -238,16 +240,18 @@ def backward_tiles_pallas(
     grid: Tuple[int, int],
     max_per_tile: int = 4096,
     interpret: bool = False,
+    n_views: int = 1,
 ) -> Array:
     """Returns per-(tile, window) gradient blocks
-    (n_tiles, max_windows, 16, WINDOW)."""
+    (n_tiles_total, max_windows, 16, WINDOW)."""
     gy, gx = grid
-    n_tiles = gy * gx
+    n_tiles = n_views * gy * gx
     n_pairs = attrs.shape[1]
     max_windows = int(pl.cdiv(max_per_tile, WINDOW)) + 1
 
     kernel = functools.partial(
-        _backward_kernel, grid_x=gx, max_windows=max_windows, n_pairs=n_pairs
+        _backward_kernel, grid_x=gx, max_windows=max_windows, n_pairs=n_pairs,
+        tiles_per_view=gy * gx,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

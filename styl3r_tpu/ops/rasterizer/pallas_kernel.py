@@ -75,10 +75,10 @@ def pack_attrs(
 
 
 def _composite_kernel(
-    starts_ref,  # SMEM (n_tiles,) int32  (scalar prefetch)
-    counts_ref,  # SMEM (n_tiles,) int32  (scalar prefetch)
+    starts_ref,  # SMEM (n_tiles_total,) int32  (scalar prefetch)
+    counts_ref,  # SMEM (n_tiles_total,) int32  (scalar prefetch)
     attrs_ref,  # ANY/HBM (16, n_pairs_pad) f32
-    bg_ref,  # SMEM (3,) f32
+    bg_ref,  # SMEM (n_views, 3) f32
     out_ref,  # VMEM block (1, P, 8) f32: cols r,g,b,depth,alpha,pad
     scratch,  # VMEM (2, 16, WINDOW)
     sems,  # DMA semaphores (2,)
@@ -86,16 +86,23 @@ def _composite_kernel(
     grid_x: int,
     max_windows: int,
     n_pairs: int,
+    tiles_per_view: int,
 ):
+    # Fused multi-view grid: tile t belongs to view t // tiles_per_view;
+    # pixel coordinates come from the within-view tile index (all views of a
+    # batch share ONE sort + ONE kernel launch — batched lax.sort under vmap
+    # is ~2x the whole render's cost on TPU).
     t = pl.program_id(0)
+    view = t // tiles_per_view
+    tv = jax.lax.rem(t, tiles_per_view)
     start = starts_ref[t]
     count = counts_ref[t]
     end = start + count
     base = (start // WINDOW) * WINDOW
     n_windows = jnp.minimum(pl.cdiv(end - base, WINDOW), max_windows)
 
-    ty = t // grid_x
-    tx = t % grid_x
+    ty = tv // grid_x
+    tx = jax.lax.rem(tv, grid_x)
     # Pixel centers: pixels on sublanes -> (P, 1) columns.
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, WINDOW), 0)
     px = (tx * TILE + pix % TILE).astype(jnp.float32)
@@ -177,9 +184,9 @@ def _composite_kernel(
     )
     w_done, acc, trans = jax.lax.while_loop(cond, body, init)
 
-    out_ref[0, :, 0] = acc[:, 0] + trans[:, 0] * bg_ref[0]
-    out_ref[0, :, 1] = acc[:, 1] + trans[:, 0] * bg_ref[1]
-    out_ref[0, :, 2] = acc[:, 2] + trans[:, 0] * bg_ref[2]
+    out_ref[0, :, 0] = acc[:, 0] + trans[:, 0] * bg_ref[view, 0]
+    out_ref[0, :, 1] = acc[:, 1] + trans[:, 0] * bg_ref[view, 1]
+    out_ref[0, :, 2] = acc[:, 2] + trans[:, 0] * bg_ref[view, 2]
     out_ref[0, :, 3] = acc[:, 3]
     out_ref[0, :, 4] = 1.0 - trans[:, 0]
     # Bookkeeping for the backward pass: windows actually composited (the
@@ -197,27 +204,30 @@ def composite_tiles_pallas(
     grid: Tuple[int, int],
     max_per_tile: int = 4096,
     interpret: bool = False,
+    n_views: int = 1,
 ) -> Tuple[Array, Array, Array]:
     """Run the compositing kernel.
 
     Args:
       attrs: (16, n_pairs_pad) packed sorted attributes (pack_attrs).
-      starts/counts: (n_tiles,) int32 per-tile ranges into the pair order.
-      background: (3,) f32.
-      grid: (gy, gx) tile grid.
-    Returns (color (n_tiles, P, 3), depth (n_tiles, P), alpha (n_tiles, P),
-    n_windows_done (n_tiles,), t_final (n_tiles, P)).
+      starts/counts: (n_views * n_tiles,) int32 per-tile pair ranges.
+      background: (3,) f32, or (n_views, 3) for fused multi-view renders.
+      grid: (gy, gx) per-view tile grid.
+    Returns (color (n_tiles_total, P, 3), depth (.., P), alpha (.., P),
+    n_windows_done (..,), t_final (.., P)) with n_tiles_total = n_views*gy*gx.
     """
     gy, gx = grid
-    n_tiles = gy * gx
+    n_tiles = n_views * gy * gx
     n_pairs = attrs.shape[1]
     max_windows = int(pl.cdiv(max_per_tile, WINDOW)) + 1  # +1 for alignment slack
+    background = jnp.atleast_2d(background.astype(jnp.float32))
 
     kernel = functools.partial(
         _composite_kernel,
         grid_x=gx,
         max_windows=max_windows,
         n_pairs=n_pairs,
+        tiles_per_view=gy * gx,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -6,13 +6,17 @@ as the CUDA tile rasterizer, reformulated for static shapes + XLA:
 
   1. project gaussians (EWA, see project.py) — vectorized XLA;
   2. bin: each gaussian emits up to `max_tiles_per_gaussian` (tile, depth)
-     pairs covering its 3-sigma screen bbox; one global lexicographic sort by
+     pairs covering its 3-sigma screen bbox, exactly culled by the
+     ellipse-tile intersection test; one global lexicographic sort by
      (tile, depth) replaces the CUDA radix sort; per-tile ranges come from
      searchsorted;
   3. composite: per 16x16 tile, scan depth-ordered gaussians in chunks and
-     alpha-composite front-to-back with a running transmittance carry. The
-     within-chunk exclusive cumprod keeps the math exact while staying fully
-     vectorized (VPU-friendly (chunk, pixels) blocks).
+     alpha-composite front-to-back with a running transmittance carry.
+
+Multi-view fusion: `render_many` renders ALL views of a batch with ONE sort
+and ONE kernel launch by offsetting each view's tile ids into a shared id
+space (a batched lax.sort under vmap costs more than the whole unbatched
+render on TPU). `render` is the single-view special case.
 
 Differentiable end-to-end via autodiff (gather -> scatter-add in the backward),
 including w.r.t. camera pose deltas, which enter through `make_raster_camera`.
@@ -40,14 +44,14 @@ TILE = 16
 
 
 class RenderOutput(NamedTuple):
-    color: Array  # (h, w, 3)
-    depth: Array  # (h, w) alpha-weighted expected depth
-    alpha: Array  # (h, w) accumulated opacity
+    color: Array  # (..., h, w, 3)
+    depth: Array  # (..., h, w) alpha-weighted expected depth
+    alpha: Array  # (..., h, w) accumulated opacity
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def composite_pallas_diff(
-    attrs, starts, counts, background, gy, gx, max_per_tile, interpret
+    attrs, starts, counts, background, gy, gx, max_per_tile, interpret, n_views
 ):
     """Differentiable Pallas compositing: forward + backward both run as TPU
     kernels (pallas_kernel.py / pallas_backward.py)."""
@@ -55,36 +59,46 @@ def composite_pallas_diff(
 
     color, depth, alpha, _, _ = composite_tiles_pallas(
         attrs, starts, counts, background, (gy, gx),
-        max_per_tile=max_per_tile, interpret=interpret,
+        max_per_tile=max_per_tile, interpret=interpret, n_views=n_views,
     )
     return color, depth, alpha
 
 
-def _composite_pallas_fwd(attrs, starts, counts, background, gy, gx, max_per_tile, interpret):
+def _composite_pallas_fwd(
+    attrs, starts, counts, background, gy, gx, max_per_tile, interpret, n_views
+):
     from .pallas_kernel import composite_tiles_pallas
 
     color, depth, alpha, n_done, t_final = composite_tiles_pallas(
         attrs, starts, counts, background, (gy, gx),
-        max_per_tile=max_per_tile, interpret=interpret,
+        max_per_tile=max_per_tile, interpret=interpret, n_views=n_views,
     )
     residuals = (attrs, starts, counts, background, n_done, t_final)
     return (color, depth, alpha), residuals
 
 
-def _composite_pallas_bwd(gy, gx, max_per_tile, interpret, residuals, cotangents):
+def _composite_pallas_bwd(
+    gy, gx, max_per_tile, interpret, n_views, residuals, cotangents
+):
     from .pallas_backward import backward_tiles_pallas, scatter_window_grads
 
     attrs, starts, counts, background, n_done, t_final = residuals
     dcolor, ddepth, dalpha = cotangents
+    bg2d = jnp.atleast_2d(background)  # (n_views, 3)
+    n_tiles = gy * gx
+    bg_per_tile = jnp.repeat(bg2d, n_tiles, axis=0)  # (n_views*n_tiles, 3)
     # Fold the T_N * bg color term's alpha-derivative into the dalpha channel:
     # d/d(alpha_i) [T_N * bg] = -T_N * bg / (1 - alpha_i).
-    da_eff = dalpha - jnp.einsum("tpc,c->tp", dcolor, background)
+    da_eff = dalpha - jnp.einsum("tpc,tc->tp", dcolor, bg_per_tile)
     window_grads = backward_tiles_pallas(
         attrs, starts, counts, n_done, dcolor, ddepth, da_eff, t_final,
         (gy, gx), max_per_tile=max_per_tile, interpret=interpret,
+        n_views=n_views,
     )
     grad_attrs = scatter_window_grads(window_grads, starts, attrs.shape[1])
-    grad_bg = jnp.einsum("tpc,tp->c", dcolor, t_final)
+    grad_bg_per_tile = jnp.einsum("tpc,tp->tc", dcolor, t_final)
+    grad_bg = grad_bg_per_tile.reshape(bg2d.shape[0], n_tiles, 3).sum(axis=1)
+    grad_bg = grad_bg.reshape(background.shape)
     return grad_attrs, None, None, grad_bg
 
 
@@ -179,56 +193,14 @@ def _build_pairs(
     return pair_tiles, pair_depths, pair_gidx
 
 
-def render(
-    camera: RasterCamera,
-    means: Array,
-    covariances: Array,
-    harmonics: Array,
-    opacities: Array,
-    image_shape: Tuple[int, int],
-    background: Optional[Array] = None,
-    *,
-    max_tiles_per_gaussian: int = 32,
-    max_per_tile: int = 4096,
-    chunk: int = 64,
-    impl: str = "jnp",
-) -> RenderOutput:
-    """Render one view of one scene. vmap over leading dims for batches.
-
-    Args:
-      camera: unbatched RasterCamera (from make_raster_camera).
-      means/covariances/harmonics/opacities: (g, 3), (g, 3, 3), (g, 3, d_sh), (g,).
-      image_shape: (h, w), each divisible by 16.
-      background: (3,) color, defaults to black.
-      impl: 'jnp' (pure XLA, autodiff-native) | 'pallas' (TPU kernel forward,
-        jnp-VJP backward) | 'pallas_interpret' (kernel in interpreter mode,
-        for CPU tests).
-    """
-    h, w = image_shape
-    if h % TILE or w % TILE:
-        raise ValueError(f"image shape {image_shape} must be divisible by {TILE}")
-    gy, gx = h // TILE, w // TILE
-    n_tiles = gy * gx
-    dtype = means.dtype
-    if background is None:
-        background = jnp.zeros((3,), dtype)
-
-    proj = project_gaussians(camera, means, covariances)
-    dirs = means - camera.cam_pos
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-    colors = eval_sh(harmonics, dirs)  # (g, 3)
-
-    pair_tiles, pair_depths, pair_gidx = _build_pairs(
-        proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
-        max_tiles_per_gaussian, opacities=opacities, conics=proj.conics,
-    )
-    # One global sort by a single packed (tile, depth) key bins and
-    # depth-orders at once: tile id in the high bits, the top bits of the
-    # positive-f32 depth (monotone as unsigned) below. A 1-key u32 sort is
-    # ~2x cheaper than the 2-key lexicographic comparator on TPU; the only
-    # approximation is depth ties below 2^-(mantissa kept) relative — pairs
-    # that are visually order-free. (CUDA reference packs {tile, depth} into
-    # one 64-bit radix key the same way.)
+def _sort_pairs(pair_tiles: Array, pair_depths: Array, pair_gidx: Array, n_tiles: int):
+    """One global sort by a single packed (tile, depth) u32 key: tile id in
+    the high bits, the top bits of the positive-f32 depth (monotone as
+    unsigned) below. A 1-key u32 sort is ~2x cheaper than the 2-key
+    lexicographic comparator on TPU; the only approximation is depth ties
+    below 2^-(mantissa kept) relative — pairs that are visually order-free.
+    (CUDA reference packs {tile, depth} into one 64-bit radix key the same
+    way.) Returns (sorted_tiles, sorted_gidx, starts, ends)."""
     tile_bits = max(int(n_tiles + 1).bit_length(), 1)
     depth_shift = jnp.uint32(32 - tile_bits)
     depth_bits = jax.lax.bitcast_convert_type(
@@ -242,38 +214,25 @@ def render(
     tile_ids = jnp.arange(n_tiles, dtype=sorted_tiles.dtype)
     starts = jnp.searchsorted(sorted_tiles, tile_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tiles, tile_ids, side="right").astype(jnp.int32)
-    counts = jnp.minimum(ends - starts, max_per_tile)
+    return sorted_tiles, sorted_gidx, starts, ends
 
-    if impl in ("pallas", "pallas_interpret"):
-        from .pallas_kernel import pack_attrs
 
-        attrs = pack_attrs(
-            proj.means2d, proj.conics, opacities.astype(jnp.float32), colors,
-            proj.depths, sorted_gidx,
-        )
-        rgb, dep, alpha = composite_pallas_diff(
-            attrs, starts, counts, background, gy, gx,
-            max_per_tile, impl == "pallas_interpret",
-        )
-        color = (
-            rgb.reshape(gy, gx, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
-        )
-        depth = dep.reshape(gy, gx, TILE, TILE).transpose(0, 2, 1, 3).reshape(h, w)
-        alpha_img = alpha.reshape(gy, gx, TILE, TILE).transpose(0, 2, 1, 3).reshape(h, w)
-        return RenderOutput(color=color, depth=depth, alpha=alpha_img)
-
+def _composite_jnp_view(
+    sorted_gidx, starts, counts, means2d, conics, colors, opacities, depths,
+    grid, background, max_per_tile, chunk, dtype,
+):
+    """Pure-XLA per-tile front-to-back compositing for ONE view. The attr
+    arrays may be flattened multi-view tables — `sorted_gidx` carries global
+    indices; only `starts`/`counts` are per-view slices."""
+    gy, gx = grid
     n_pairs = sorted_gidx.shape[0]
     n_chunks = max_per_tile // chunk
+    tile_ids = jnp.arange(gy * gx, dtype=jnp.int32)
 
-    # Tile-local pixel centers, shared across tiles: (p, 2) with p = TILE*TILE.
     py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
     local_pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1).astype(dtype)
 
-    means2d = proj.means2d
-    conics = proj.conics
-    depths = proj.depths
-
-    def composite_tile(tile_idx: Array, start: Array, count: Array) -> Tuple[Array, Array, Array]:
+    def composite_tile(tile_idx: Array, start: Array, count: Array):
         ty = tile_idx // gx
         tx = tile_idx % gx
         pix = local_pix + jnp.stack([tx * TILE, ty * TILE]).astype(dtype)  # (p, 2)
@@ -324,9 +283,153 @@ def render(
         rgb = rgb + trans[:, None] * background[None, :]
         return rgb, dep, 1.0 - trans
 
-    rgb, dep, alpha = jax.vmap(composite_tile)(tile_ids, starts, counts)
-    # (n_tiles, p, ...) -> (h, w, ...)
-    color = rgb.reshape(gy, gx, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
-    depth = dep.reshape(gy, gx, TILE, TILE).transpose(0, 2, 1, 3).reshape(h, w)
-    alpha_img = alpha.reshape(gy, gx, TILE, TILE).transpose(0, 2, 1, 3).reshape(h, w)
+    return jax.vmap(composite_tile)(tile_ids, starts, counts)
+
+
+def render_many(
+    cameras: RasterCamera,  # leading dim (n,) on every field
+    means: Array,  # (n, g, 3) per-view (pre-gathered/scaled) gaussians
+    covariances: Array,  # (n, g, 3, 3)
+    harmonics: Array,  # (n, g, 3, d_sh)
+    opacities: Array,  # (n, g)
+    image_shape: Tuple[int, int],
+    backgrounds: Optional[Array] = None,  # (n, 3)
+    *,
+    max_tiles_per_gaussian: int = 32,
+    max_per_tile: int = 4096,
+    chunk: int = 64,
+    impl: str = "jnp",
+) -> RenderOutput:
+    """Render n views in one fused pipeline (one sort, one kernel launch).
+
+    Args:
+      cameras: RasterCamera with (n,)-leading fields (stack make_raster_camera
+        outputs, or build from (n, 4, 4) extrinsics directly).
+      means/covariances/harmonics/opacities: per-view gaussian sets. Views
+      that share a scene's gaussians should pass gathered copies (XLA keeps
+      the gather fused); per-view scaling (scale_invariant) composes here.
+      image_shape: (h, w), each divisible by 16.
+      backgrounds: per-view (n, 3), defaults to black.
+      impl: 'jnp' (pure XLA, autodiff-native) | 'pallas' (TPU kernels via
+        custom_vjp) | 'pallas_interpret' (kernel in interpreter mode, CPU).
+    Returns RenderOutput with (n, h, w, ...) leaves.
+    """
+    h, w = image_shape
+    if h % TILE or w % TILE:
+        raise ValueError(f"image shape {image_shape} must be divisible by {TILE}")
+    n = means.shape[0]
+    g = means.shape[1]
+    gy, gx = h // TILE, w // TILE
+    n_tiles = gy * gx
+    n_total = n * n_tiles
+    dtype = means.dtype
+    if backgrounds is None:
+        backgrounds = jnp.zeros((n, 3), dtype)
+
+    proj = jax.vmap(project_gaussians)(cameras, means, covariances)
+    dirs = means - cameras.cam_pos[:, None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    colors = eval_sh(harmonics, dirs)  # (n, g, 3)
+
+    pair_tiles, pair_depths, pair_gidx = jax.vmap(
+        functools.partial(
+            _build_pairs,
+            grid=(gy, gx),
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+        )
+    )(proj.means2d, proj.radii, proj.depths, proj.mask,
+      opacities=opacities, conics=proj.conics)
+    # Offset each view's tiles into the shared id space (invalid slots keep
+    # the global sentinel n_total); gaussian indices go global the same way.
+    view_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
+    pair_tiles = jnp.where(
+        pair_tiles >= n_tiles, n_total, pair_tiles + view_ids * n_tiles
+    ).reshape(-1)
+    pair_gidx = (pair_gidx + view_ids * g).reshape(-1)
+    pair_depths = pair_depths.reshape(-1)
+
+    _, sorted_gidx, starts, ends = _sort_pairs(
+        pair_tiles, pair_depths, pair_gidx, n_total
+    )
+    counts = jnp.minimum(ends - starts, max_per_tile)
+
+    flat = lambda x: x.reshape((n * g,) + x.shape[2:])
+
+    if impl in ("pallas", "pallas_interpret"):
+        from .pallas_kernel import pack_attrs
+
+        attrs = pack_attrs(
+            flat(proj.means2d), flat(proj.conics),
+            flat(opacities).astype(jnp.float32), flat(colors),
+            flat(proj.depths), sorted_gidx,
+        )
+        rgb, dep, alpha = composite_pallas_diff(
+            attrs, starts, counts, backgrounds, gy, gx,
+            max_per_tile, impl == "pallas_interpret", n,
+        )
+    else:
+        per_view = []
+        for i in range(n):
+            sl = slice(i * n_tiles, (i + 1) * n_tiles)
+            per_view.append(
+                _composite_jnp_view(
+                    sorted_gidx, starts[sl], counts[sl],
+                    flat(proj.means2d), flat(proj.conics), flat(colors),
+                    flat(opacities), flat(proj.depths),
+                    (gy, gx), backgrounds[i], max_per_tile, chunk, dtype,
+                )
+            )
+        rgb = jnp.concatenate([p[0] for p in per_view], axis=0)
+        dep = jnp.concatenate([p[1] for p in per_view], axis=0)
+        alpha = jnp.concatenate([p[2] for p in per_view], axis=0)
+
+    # (n*n_tiles, p, ...) -> (n, h, w, ...)
+    color = (
+        rgb.reshape(n, gy, gx, TILE, TILE, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h, w, 3)
+    )
+    depth = (
+        dep.reshape(n, gy, gx, TILE, TILE).transpose(0, 1, 3, 2, 4).reshape(n, h, w)
+    )
+    alpha_img = (
+        alpha.reshape(n, gy, gx, TILE, TILE).transpose(0, 1, 3, 2, 4).reshape(n, h, w)
+    )
     return RenderOutput(color=color, depth=depth, alpha=alpha_img)
+
+
+def render(
+    camera: RasterCamera,
+    means: Array,
+    covariances: Array,
+    harmonics: Array,
+    opacities: Array,
+    image_shape: Tuple[int, int],
+    background: Optional[Array] = None,
+    *,
+    max_tiles_per_gaussian: int = 32,
+    max_per_tile: int = 4096,
+    chunk: int = 64,
+    impl: str = "jnp",
+) -> RenderOutput:
+    """Render one view of one scene (the n=1 case of render_many).
+
+    Args:
+      camera: unbatched RasterCamera (from make_raster_camera).
+      means/covariances/harmonics/opacities: (g, 3), (g, 3, 3), (g, 3, d_sh), (g,).
+      image_shape: (h, w), each divisible by 16.
+      background: (3,) color, defaults to black.
+      impl: 'jnp' | 'pallas' | 'pallas_interpret'.
+    """
+    if background is None:
+        background = jnp.zeros((3,), means.dtype)
+    out = render_many(
+        jax.tree.map(lambda x: jnp.asarray(x)[None], camera),
+        means[None], covariances[None], harmonics[None], opacities[None],
+        image_shape, background[None],
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_per_tile=max_per_tile, chunk=chunk, impl=impl,
+    )
+    return RenderOutput(
+        color=out.color[0], depth=out.depth[0], alpha=out.alpha[0]
+    )

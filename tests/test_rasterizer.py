@@ -298,3 +298,69 @@ def test_pallas_backward_matches_autodiff():
     for name, a, b in zip(["means", "scales", "quats", "sh", "op", "bg"], g_jnp, g_pal):
         scale = float(jnp.abs(a).max()) + 1e-12
         assert float(jnp.abs(a - b).max()) / scale < 1e-4, name
+
+
+@pytest.mark.slow
+def test_render_many_fused_matches_per_view():
+    """The fused multi-view path (one sort + one kernel launch over all
+    views' offset tile ids) must match per-view single renders, for both the
+    jnp compositor and the interpret-mode Pallas kernel, including per-view
+    backgrounds and gradients."""
+    from styl3r_tpu.ops.rasterizer.render import render_many
+
+    rng = np.random.default_rng(41)
+    g = 120
+    means, covs, shs, opas = isotropic_gaussians(
+        np.stack(
+            [rng.uniform(-1, 1, g), rng.uniform(-1, 1, g), rng.uniform(2, 5, g)], -1
+        ),
+        0.12,
+        rng.uniform(0, 1, (g, 3)),
+        rng.uniform(0.3, 0.9, g),
+    )
+    exts = []
+    for dx in (-0.15, 0.0, 0.2):
+        e = np.eye(4, dtype=np.float32)
+        e[0, 3] = dx
+        exts.append(e)
+    cams = [default_camera(jnp.asarray(e)) for e in exts]
+    cams_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    bgs = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.2, 0.1, 0.0], [0.0, 0.3, 0.5]], jnp.float32
+    )
+    kw = dict(max_per_tile=256, max_tiles_per_gaussian=8)
+
+    mns = jnp.broadcast_to(means, (3, g, 3))
+    cvs = jnp.broadcast_to(covs, (3, g, 3, 3))
+    sh3 = jnp.broadcast_to(shs, (3,) + shs.shape)
+    op3 = jnp.broadcast_to(opas, (3, g))
+
+    for impl in ("jnp", "pallas_interpret"):
+        fused = render_many(
+            cams_stacked, mns, cvs, sh3, op3, (H, W), bgs, impl=impl, **kw
+        )
+        for i, cam in enumerate(cams):
+            single = render(
+                cam, means, covs, shs, opas, (H, W), bgs[i], impl="jnp", **kw
+            )
+            np.testing.assert_allclose(
+                np.asarray(fused.color[i]), np.asarray(single.color),
+                atol=3e-5, err_msg=f"{impl} view {i}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(fused.depth[i]), np.asarray(single.depth), atol=3e-4
+            )
+
+    # Gradients through the fused pallas path vs the fused jnp path.
+    def loss(impl):
+        def f(m):
+            out = render_many(
+                cams_stacked, m, cvs, sh3, op3, (H, W), bgs, impl=impl, **kw
+            )
+            return jnp.sum(out.color * jnp.linspace(0, 1, 3)[:, None, None, None])
+
+        return f
+
+    g_jnp = jax.grad(loss("jnp"))(mns)
+    g_pal = jax.grad(loss("pallas_interpret"))(mns)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_jnp), atol=2e-3, rtol=1e-3)
