@@ -83,3 +83,47 @@ def wobble_extrinsics(
     out[:, 0, 3] += radius * np.cos(t)
     out[:, 1, 3] += radius * np.sin(t)
     return out
+
+
+def _rotvec_to_matrix(rotvec: np.ndarray) -> np.ndarray:
+    """Rodrigues for (..., 3) rotation vectors (scipy-free)."""
+    rotvec = np.asarray(rotvec, np.float64)
+    angle = np.linalg.norm(rotvec, axis=-1, keepdims=True)
+    safe = np.where(angle < 1e-12, 1.0, angle)
+    axis = rotvec / safe
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = np.zeros_like(x)
+    k = np.stack(
+        [
+            np.stack([zero, -z, y], -1),
+            np.stack([z, zero, -x], -1),
+            np.stack([-y, x, zero], -1),
+        ],
+        axis=-2,
+    )
+    a = angle[..., None]
+    eye = np.broadcast_to(np.eye(3), k.shape)
+    return eye + np.sin(a) * k + (1 - np.cos(a)) * (k @ k)
+
+
+def generate_spin(
+    num_frames: int, elevation: float, radius: float
+) -> np.ndarray:
+    """Orbit trajectory around the origin (reference
+    src/visualization/camera_trajectory/spin.py:9-37): translate back along
+    the look vector (with the reference's x/y flip), tilt by `elevation`
+    degrees, sweep azimuth over a full turn. Returns (num_frames, 4, 4)."""
+    tf_translation = np.eye(4, dtype=np.float32)
+    tf_translation[:2] *= -1
+    tf_translation[2, 3] = -radius
+
+    phi = 2 * np.pi * (np.arange(num_frames) / num_frames)
+    rotvecs = np.stack([np.zeros_like(phi), phi, np.zeros_like(phi)], axis=-1)
+    tf_azimuth = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))
+    tf_azimuth[:, :3, :3] = _rotvec_to_matrix(rotvecs)
+
+    tf_elevation = np.eye(4, dtype=np.float32)
+    tf_elevation[:3, :3] = _rotvec_to_matrix(
+        np.asarray([np.deg2rad(elevation), 0.0, 0.0])
+    )
+    return (tf_azimuth @ tf_elevation @ tf_translation).astype(np.float32)

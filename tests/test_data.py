@@ -205,3 +205,55 @@ def test_overfit_to_scene(data_root):
         assert ex.scene == "test_scene_1"
         if i == 4:
             break
+
+
+def test_scannet_pose_dataset_synthetic_layout(tmp_path):
+    """ScannetPoseDataset over a synthetic ScanNet-shaped directory
+    (test.npz pairs + scans_test/<scene>/color + intrinsic_color.txt),
+    including the center-principal-point padding and K normalization
+    (reference dataset_scannet_pose.py:82-230)."""
+    from PIL import Image
+    from styl3r_tpu.data.scannet_pose import ScannetPoseDataset, center_principal_point
+
+    rng = np.random.default_rng(13)
+    scene = tmp_path / "scans_test" / "scene0707_00"
+    (scene / "color").mkdir(parents=True)
+    (scene / "intrinsic").mkdir(parents=True)
+    h, w = 120, 160
+    for fid in (10, 40):
+        arr = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(scene / "color" / f"{fid}.jpg")
+    # Off-center principal point exercises the padding path.
+    k = np.asarray(
+        [[140.0, 0, 70.0, 0], [0, 140.0, 68.0, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+    )
+    (scene / "intrinsic" / "intrinsic_color.txt").write_text(
+        "\n".join(" ".join(str(x) for x in row) for row in k)
+    )
+    rel = np.eye(4)[:3].reshape(-1)
+    rel[3] = 0.3  # translation in the relative pose
+    np.savez(
+        tmp_path / "test.npz",
+        name=np.asarray([[707, 0, 10, 40]]),
+        rel_pose=rel[None],
+    )
+
+    ds = ScannetPoseDataset(tmp_path, input_image_shape=(64, 64))
+    examples = list(ds)
+    assert len(examples) == 1
+    ex = examples[0]
+    assert ex.scene == "scene0707_00"
+    assert ex.context.image.shape == (2, 64, 64, 3)
+    assert ex.context.extrinsics.shape == (2, 4, 4)
+    # view-2 extrinsics = inv(rel_pose): translation -0.3 on x.
+    np.testing.assert_allclose(ex.context.extrinsics[1, 0, 3], -0.3, atol=1e-6)
+    # principal point centered after padding + crop: cx = cy = 0.5.
+    np.testing.assert_allclose(ex.context.intrinsics[0, :2, 2], 0.5, atol=0.02)
+    # fx/fy stay positive-normalized.
+    assert 0 < ex.context.intrinsics[0, 0, 0] < 10
+
+    # Padding math: a (2, 10, 12, 3) image with cx=3, cy=7 pads right/top.
+    imgs = np.ones((2, 10, 12, 3), np.float32)
+    out, ncx, ncy = center_principal_point(imgs, 3.0, 7.0)
+    assert out.shape[1] >= 10 and out.shape[2] >= 12
+    assert ncx == out.shape[2] // 2 and ncy == out.shape[1] // 2

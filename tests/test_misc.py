@@ -163,3 +163,35 @@ def test_compute_metrics_cli(tmp_path):
     ((method, metrics),) = results.items()
     assert np.isfinite(metrics["psnr/all"]) and metrics["psnr/all"] > 20
     assert 0.9 < metrics["ssim/all"] <= 1.0
+
+
+def test_wandb_checkpoint_path_resolution():
+    """update_checkpoint_path (reference misc/wandb_tools.py:44-62): plain
+    paths pass through; wandb:// specs parse run/version (download mocked)."""
+    from pathlib import Path
+    from unittest import mock
+
+    from styl3r_tpu.utils import wandb_tools
+
+    assert wandb_tools.update_checkpoint_path(None, {}) is None
+    assert wandb_tools.update_checkpoint_path("/a/b.ckpt", {}) == Path("/a/b.ckpt")
+
+    calls = []
+
+    def fake_download(run_id, download_dir, version):
+        calls.append((run_id, version))
+        return Path("checkpoints") / run_id / "model.ckpt"
+
+    with mock.patch.object(wandb_tools, "download_checkpoint", fake_download):
+        out = wandb_tools.update_checkpoint_path(
+            "wandb://abc123:v7", {"project": "styl3r"}
+        )
+        assert calls == [("styl3r/abc123", "v7")]
+        assert out.name == "model.ckpt"
+        wandb_tools.update_checkpoint_path("wandb://xyz", {"project": "p"})
+        assert calls[-1] == ("p/xyz", None)
+    try:
+        wandb_tools.update_checkpoint_path("wandb://a:b:c", {"project": "p"})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

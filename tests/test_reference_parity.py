@@ -760,3 +760,18 @@ def test_legacy_stylizers_match_reference_source():
         jax.tree.map(jnp.asarray, p), jnp.asarray(style), jnp.asarray(feats)
     )
     np.testing.assert_allclose(np.asarray(m_at), r_at, atol=3e-4)
+
+
+def test_spin_trajectory_matches_reference_source():
+    """generate_spin vs the executed reference (scipy Rotation) —
+    camera_trajectory/spin.py:9-37."""
+    spec = importlib.util.spec_from_file_location(
+        "refspin", REF / "visualization/camera_trajectory/spin.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from styl3r_tpu.infer.trajectory import generate_spin
+
+    ref = m.generate_spin(24, torch.device("cpu"), elevation=15.0, radius=1.5).numpy()
+    mine = generate_spin(24, elevation=15.0, radius=1.5)
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
