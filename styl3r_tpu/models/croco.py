@@ -286,3 +286,45 @@ class TokenStylizer(nn.Module):
         if self.trim_last_token:
             outputs = [t[:, :, :-1] for t in outputs]
         return outputs
+
+
+class StructureBuilder(nn.Module):
+    """Decoder-only structure branch of the 2-view token-style encoder
+    (structure_builder.py:36-142): project both views' encoder tokens to the
+    decoder dim and run 12 RoPE self-attention Blocks over their
+    concatenation. Returns the 13-level per-view pyramid [(enc tokens), 12
+    block outputs (last normed)], each (b, 2, l-1, c) with the trailing
+    intrinsics token trimmed (the reference trims in its encoder's forward,
+    structure_builder.py:131-142)."""
+
+    enc_dim: int = ENC_DIM
+    dec_dim: int = DEC_DIM
+    dec_depth: int = DEC_DEPTH
+    dec_heads: int = DEC_HEADS
+    trim_last_token: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.decoder_embed = nn.Dense(self.dec_dim, dtype=self.dtype)
+        self.dec_blocks = [
+            Block(
+                dim=self.dec_dim, num_heads=self.dec_heads,
+                rope_base=ROPE_BASE, dtype=self.dtype,
+            )
+            for _ in range(self.dec_depth)
+        ]
+        self.dec_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+
+    def __call__(self, feats: Array, pos: Array) -> List[Array]:
+        """feats: (b, 2, l, enc_dim); pos: (b, 2, l, 2)."""
+        b, v, l, _ = feats.shape
+        outputs: List[Array] = [feats]
+        x = self.decoder_embed(feats).reshape(b, v * l, self.dec_dim)
+        xpos = pos.reshape(b, v * l, 2)
+        for blk in self.dec_blocks:
+            x = blk(x, xpos)
+            outputs.append(x.reshape(b, v, l, self.dec_dim))
+        outputs[-1] = self.dec_norm(x).reshape(b, v, l, self.dec_dim)
+        if self.trim_last_token:
+            outputs = [t[:, :, :-1] for t in outputs]
+        return outputs

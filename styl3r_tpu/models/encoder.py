@@ -180,3 +180,137 @@ class Styl3rEncoder(nn.Module):
             }
             return gaussians, aux
         return gaussians
+
+
+class Styl3rTokenStyleEncoder2View(nn.Module):
+    """The 2-view `noposplat_token_style` encoder, architecture-faithful
+    (encoder_noposplat_token_style.py:150-283): encoder-only `croco_enc`
+    backbone -> StructureBuilder (12 self-attn blocks over both views'
+    concatenated tokens) for structure, TokenStylizer for appearance; ONE
+    shared pts3d head + ONE shared dpt_gs_sh structure head applied to both
+    views; dpt_gs_sh appearance head on the stylized tokens.
+
+    Reference's latent bug, documented: its forward calls
+    `self.token_stylizer(style, feat1, pos1, feat2, pos2)` but
+    TokenStylizer.forward takes (style, content_feat, content_pos) — the
+    shipped 2-view style path crashes. We use the working multi-view stylizer
+    interface with the two views stacked, which is the evident intent.
+    """
+
+    sh_degree: int = 0
+    patch_size: int = 16
+    opacity_initial: float = 0.0
+    opacity_final: float = 0.0
+    opacity_warm_up: int = 1
+    backbone_dtype: Dtype = jnp.float32
+    head_trunk_dtype: Dtype = None
+    enc_depth: int = 24
+    dec_depth: int = 12
+    enc_dim: int = 1024
+    dec_dim: int = 768
+    enc_heads: int = 16
+    dec_heads: int = 12
+    head_feature_dim: int = 256
+    head_last_dim: int = 128
+    head_layer_dims: tuple = (96, 192, 384, 768)
+
+    def setup(self):
+        from .croco import CrocoEncBackbone, StructureBuilder, TokenStylizer
+
+        dims = dict(
+            enc_depth=self.enc_depth,
+            enc_dim=self.enc_dim,
+            enc_heads=self.enc_heads,
+        )
+        self.backbone = CrocoEncBackbone(
+            patch_size=self.patch_size, dtype=self.backbone_dtype, **dims
+        )
+        self.structure_builder = StructureBuilder(
+            enc_dim=self.enc_dim, dec_dim=self.dec_dim,
+            dec_depth=self.dec_depth, dec_heads=self.dec_heads,
+            dtype=self.backbone_dtype,
+        )
+        self.token_stylizer = TokenStylizer(
+            patch_size=self.patch_size, dtype=self.backbone_dtype,
+            dec_depth=self.dec_depth, dec_dim=self.dec_dim,
+            dec_heads=self.dec_heads, enc_depth=self.enc_depth,
+            enc_dim=self.enc_dim, enc_heads=self.enc_heads,
+        )
+        l2 = self.dec_depth
+        hooks = (0, l2 * 2 // 4, l2 * 3 // 4, l2)
+        head_dims = dict(
+            patch_size=self.patch_size,
+            hooks=hooks,
+            feature_dim=self.head_feature_dim,
+            layer_dims=self.head_layer_dims,
+            trunk_dtype=self.head_trunk_dtype,
+        )
+        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
+        structure_channels = (
+            1 + raw_gaussian_channels(self.sh_degree) - 3 * d_sh(self.sh_degree)
+        )
+        # dpt_gs_sh (no image merger) for BOTH structure and appearance, as
+        # the reference's head_factory calls specify.
+        self.gaussian_structure_head = DPTGSSHHead(
+            out_channels=structure_channels, **head_dims
+        )
+        self.gaussian_appearance_head = DPTGSSHHead(
+            out_channels=3 * d_sh(self.sh_degree), **head_dims
+        )
+
+    def __call__(
+        self,
+        context_images: Array,  # (b, 2, h, w, 3) in [-1, 1]
+        context_intrinsics: Array,  # (b, 2, 3, 3)
+        style_image: Array,  # (b, hs, ws, 3) in [-1, 1]
+        global_step: Array | int = 0,
+        deterministic: bool = True,
+        return_aux: bool = False,
+        distill_only: bool = False,
+    ):
+        b, v, h, w, _ = context_images.shape
+        if v != 2:
+            raise ValueError("the token_style encoder is strictly 2-view")
+
+        feats, pos = self.backbone(context_images, context_intrinsics)
+        structure = self.structure_builder(feats, pos)
+
+        f32 = jnp.float32
+        struct_flat = [
+            t.reshape(b * v, *t.shape[2:]).astype(f32) for t in structure
+        ]
+        pts = self.head1(struct_flat, (h, w)).reshape(b, v, h, w, 3)
+        if distill_only:
+            # Stage-0 distillation path: pts3d only, no stylization/render
+            # (encoder_noposplat_token_style.py:164-183).
+            return {"pts3d": pts, "depths": pts[..., 2]}
+
+        sty = self.token_stylizer(style_image, feats, pos)
+        sty_flat = [t.reshape(b * v, *t.shape[2:]).astype(f32) for t in sty]
+
+        gs_struct = self.gaussian_structure_head(
+            struct_flat, (h, w), deterministic
+        ).reshape(b, v, h, w, -1)
+        gs_appear = self.gaussian_appearance_head(
+            sty_flat, (h, w), deterministic
+        ).reshape(b, v, h, w, -1)
+
+        raw = jnp.concatenate([gs_struct, gs_appear], axis=-1)
+        densities = nn.sigmoid(raw[..., 0])
+        opacities = map_pdf_to_opacity(
+            densities, global_step, self.opacity_initial, self.opacity_final,
+            self.opacity_warm_up,
+        )
+        gaussians = unified_gaussian_adapter(
+            means=pts.reshape(b, v * h * w, 3),
+            opacities=opacities.reshape(b, v * h * w),
+            raw=raw[..., 1:].reshape(b, v * h * w, -1),
+            sh_degree=self.sh_degree,
+        )
+        if return_aux:
+            return gaussians, {
+                "pts3d": pts,
+                "depths": pts[..., 2],
+                "densities": densities,
+            }
+        return gaussians

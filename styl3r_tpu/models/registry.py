@@ -52,10 +52,15 @@ def get_head(name: str, out_channels: int = 3, **kwargs):
 def get_encoder(name: str, **kwargs):
     from .encoder import Styl3rEncoder
 
-    if name in ("noposplat_multi_token_style", "noposplat_token_style"):
-        # The N-view encoder generalizes the 2-view variant (StructureBuilder
-        # is subsumed by the multiview decoder at v=2).
+    if name == "noposplat_multi_token_style":
         return Styl3rEncoder(**kwargs)
+    if name == "noposplat_token_style":
+        # Architecture-faithful 2-view variant: croco_enc backbone +
+        # StructureBuilder + shared heads
+        # (encoder_noposplat_token_style.py:150-283).
+        from .encoder import Styl3rTokenStyleEncoder2View
+
+        return Styl3rTokenStyleEncoder2View(**kwargs)
     if name in ("noposplat", "noposplat_multi"):
         # Style-free NVS encoders: same network; train with stylized=False
         # (style := context view 0) to reproduce them.

@@ -222,6 +222,45 @@ def convert_styl3r_encoder(state_dict: Mapping, prefix: str = "encoder.") -> Dic
     return {"params": params}
 
 
+def convert_structure_builder(sd: Mapping, prefix: str = "structure_builder") -> Dict:
+    out = {
+        "decoder_embed": _linear(sd, f"{prefix}.decoder_embed"),
+        "dec_norm": _layernorm(sd, f"{prefix}.dec_norm"),
+    }
+    depth = _count(sd, prefix + ".dec_blocks.{}")
+    for i in range(depth):
+        out[f"dec_blocks_{i}"] = _block(sd, f"{prefix}.dec_blocks.{i}")
+    return out
+
+
+def convert_croco_enc_backbone(sd: Mapping, prefix: str = "backbone") -> Dict:
+    """AsymmetricCroCoEnc (encoder-only) -> CrocoEncBackbone params."""
+    out = {"encoder": _vit_encoder(sd, prefix)}
+    if f"{prefix}.intrinsic_encoder.weight" in sd:
+        out["intrinsic_encoder"] = _linear(sd, f"{prefix}.intrinsic_encoder")
+    return out
+
+
+def convert_token_style_encoder(state_dict: Mapping, prefix: str = "encoder.") -> Dict:
+    """2-view EncoderNoPoSplatTokenStyle checkpoint
+    (encoder_noposplat_token_style.py:150-283) -> Styl3rTokenStyleEncoder2View
+    params."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    params = {
+        "backbone": convert_croco_enc_backbone(sd, "backbone"),
+        "structure_builder": convert_structure_builder(sd, "structure_builder"),
+        "token_stylizer": convert_token_stylizer(sd, "token_stylizer"),
+        "head1": convert_pts3d_head(sd, "downstream_head1"),
+        "gaussian_structure_head": convert_gs_head(
+            sd, "gaussian_structure_head", False
+        ),
+        "gaussian_appearance_head": convert_gs_head(
+            sd, "gaussian_appearance_head", False
+        ),
+    }
+    return {"params": params}
+
+
 def load_torch_state_dict(path: str) -> Dict:
     """Load a torch .ckpt/.pth on CPU and return the raw state dict
     (unwrapping Lightning's 'state_dict' / MASt3R's 'model')."""

@@ -775,3 +775,133 @@ def test_spin_trajectory_matches_reference_source():
     ref = m.generate_spin(24, torch.device("cpu"), elevation=15.0, radius=1.5).numpy()
     mine = generate_spin(24, elevation=15.0, radius=1.5)
     np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_token_style_2view_encoder_matches_executed_reference():
+    """The architecture-faithful 2-view token-style encoder
+    (EncoderNoPoSplatTokenStyle: croco_enc backbone + StructureBuilder +
+    shared heads, encoder_noposplat_token_style.py:150-283) vs the executed
+    reference at reduced dims, end-to-end through the converter.
+
+    The reference's shipped forward calls token_stylizer with a 5-arg
+    signature its TokenStylizer.forward does not accept (a latent crash in
+    the non-release path); the test adapts it with a stacking wrapper around
+    the reference's own TokenStylizer so the executed weights/math are still
+    the reference's."""
+    enc_mod = _load_reference_encoder_module()
+    for mod_name in (
+        "refenc.model.encoder.backbone.backbone_croco_multiview",
+        "refenc.model.encoder.backbone.backbone_croco_enc",
+        "refenc.model.encoder.token_stylizer.token_stylizer",
+        "refenc.model.encoder.token_stylizer.structure_builder",
+    ):
+        sys.modules[mod_name].croco_params["ViTLarge_BaseDecoder"] = dict(TINY_CROCO)
+
+    bce = sys.modules["refenc.model.encoder.backbone.backbone_croco_enc"]
+    ga = sys.modules["refenc.model.encoder.common.gaussian_adapter"]
+    ts_mod = sys.modules["refenc.model.encoder.token_stylizer.token_stylizer"]
+    sb_mod = sys.modules["refenc.model.encoder.token_stylizer.structure_builder"]
+    viz = sys.modules["refenc.model.encoder.visualization.encoder_visualizer_epipolar_cfg"]
+    nts = sys.modules["refenc.model.encoder.encoder_noposplat_token_style"]
+
+    cfg = nts.EncoderNoPoSplatTokenStyleCfg(
+        name="noposplat_token_style",
+        d_feature=32,
+        num_monocular_samples=1,
+        backbone=bce.BackboneCrocoEncCfg(
+            name="croco_enc",
+            model="ViTLarge_BaseDecoder",
+            intrinsics_embed_loc="encoder",
+            intrinsics_embed_type="token",
+        ),
+        token_stylizer=ts_mod.TokenStylizerCfg(model="ViTLarge_BaseDecoder"),
+        structure_builder=sb_mod.StructureBuilderCfg(model="ViTLarge_BaseDecoder"),
+        visualizer=viz.EncoderVisualizerEpipolarCfg(
+            num_samples=1, min_resolution=32, export_ply=False
+        ),
+        gaussian_adapter=ga.GaussianAdapterCfg(
+            gaussian_scale_min=0.5, gaussian_scale_max=15.0, sh_degree=0
+        ),
+        apply_bounds_shim=False,
+        opacity_mapping=nts.OpacityMappingCfg(initial=0.0, final=0.0, warm_up=1),
+        gaussians_per_pixel=1,
+        num_surfaces=1,
+        gs_params_head_type="dpt_gs",
+        gs_sh_head_type="dpt",
+        pose_free=True,
+        stylized=True,
+    )
+    torch.manual_seed(8)
+    ref = nts.EncoderNoPoSplatTokenStyle(cfg)
+    ref.backbone.intrinsic_encoder = torch.nn.Linear(9, TINY_CROCO["enc_embed_dim"])
+    ref = ref.eval()
+
+    # Adapt the latent 5-arg stylizer call: stack views, run the reference
+    # TokenStylizer, split its per-view pyramid back out.
+    real_ts = ref.token_stylizer
+
+    class _StackedTS(torch.nn.Module):
+        def forward(self, style, feat1, pos1, feat2, pos2):
+            feat = torch.stack([feat1, feat2], dim=1)
+            pos = torch.stack([pos1, pos2], dim=1)
+            dec = real_ts(style, feat, pos)
+            return [d[:, 0] for d in dec], [d[:, 1] for d in dec]
+
+    object.__setattr__(ref, "token_stylizer", _StackedTS())
+    # set_center_head attributes the head factories read live on the module:
+    ref.token_stylizer.dec_embed_dim = real_ts.dec_embed_dim
+
+    B, V, H, W = 1, 2, 64, 64
+    rng = np.random.default_rng(14)
+    images = rng.uniform(-1, 1, (B, V, 3, H, W)).astype(np.float32)
+    intr = np.tile(np.eye(3, dtype=np.float32), (B, V, 1, 1))
+    intr[..., 0, 0] = 1.1
+    intr[..., 1, 1] = 0.8
+    intr[..., :2, 2] = 0.5
+    style = rng.uniform(-1, 1, (B, 3, H, W)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_g = ref(
+            {"image": torch.from_numpy(images), "intrinsics": torch.from_numpy(intr)},
+            {"image": torch.from_numpy(style)},
+            global_step=0,
+        )
+
+    from styl3r_tpu.models.encoder import Styl3rTokenStyleEncoder2View
+    from styl3r_tpu.utils.checkpoint import convert_token_style_encoder
+
+    sd = {f"encoder.{k}": v for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_token_style_encoder(sd))
+    mine = Styl3rTokenStyleEncoder2View(
+        sh_degree=0,
+        enc_depth=TINY_CROCO["enc_depth"],
+        dec_depth=TINY_CROCO["dec_depth"],
+        enc_dim=TINY_CROCO["enc_embed_dim"],
+        dec_dim=TINY_CROCO["dec_embed_dim"],
+        enc_heads=TINY_CROCO["enc_num_heads"],
+        dec_heads=TINY_CROCO["dec_num_heads"],
+    )
+    g = mine.apply(
+        params,
+        jnp.asarray(images.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(intr),
+        jnp.asarray(style.transpose(0, 2, 3, 1)),
+        global_step=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.means), ref_g.means.reshape(B, -1, 3).numpy(), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.opacities), ref_g.opacities.reshape(B, -1).numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.covariances),
+        ref_g.covariances.reshape(B, -1, 3, 3).numpy(),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.harmonics),
+        ref_g.harmonics.reshape(B, -1, 3, 1).numpy(),
+        atol=1e-4,
+    )
