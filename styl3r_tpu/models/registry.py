@@ -23,11 +23,14 @@ def get_backbone(name: str, **kwargs):
     if name == "croco_enc":
         # Encoder-only variant used by the reference distill experiment.
         return CrocoEncBackbone(**kwargs)
-    if name in ("dino", "resnet"):
-        raise NotImplementedError(
-            f"backbone '{name}' is a NoPoSplat legacy variant that no Styl3R "
-            "release config uses; the production backbone is 'croco_multi'."
-        )
+    if name == "resnet":
+        from .backbones import BackboneResnet
+
+        return BackboneResnet(**kwargs)
+    if name == "dino":
+        from .backbones import BackboneDino
+
+        return BackboneDino(**kwargs)
     raise ValueError(f"unknown backbone: {name}")
 
 
