@@ -42,6 +42,7 @@ def render_gaussians(
     max_per_tile: int = 4096,
     chunk: int = 64,
     impl: str = "jnp",
+    shard_data=None,
 ) -> DecoderOutput:
     """Render each scene's Gaussians into its (b, v) target cameras.
 
@@ -51,6 +52,14 @@ def render_gaussians(
       near/far: (b, v).
       scale_invariant: rescale the scene by 1/near per view before rendering
         (cuda_splatting.py:64-72) to avoid numerical issues with tiny nears.
+      shard_data: optional (Mesh, axis_name). The fused renderer's single
+        global sort must NOT cross the data-parallel boundary (XLA would
+        all-gather all shards' pairs and sort them redundantly on every
+        device); with a mesh given, the render core runs under shard_map so
+        each device runs the flat fused sort over ITS batch shard only. TPU
+        sorts are only fast in 1-D (measured: u32[1M] flat 0.24 ms vs
+        u32[1,1M] 8.6 ms), so per-shard flat fusion beats any batched-sort
+        layout.
     """
     b, v = extrinsics.shape[:2]
     n = b * v
@@ -91,14 +100,31 @@ def render_gaussians(
         cam_rot_delta=cam_rot_delta.reshape(n, 3),
         cam_trans_delta=cam_trans_delta.reshape(n, 3),
     )
-    out = render_many(
-        cams, mns, cvs, shs, opas, image_shape,
-        background_color.reshape(n, 3),
-        max_tiles_per_gaussian=max_tiles_per_gaussian,
-        max_per_tile=max_per_tile,
-        chunk=chunk,
-        impl=impl,
-    )
+
+    def run(cams_, mns_, cvs_, shs_, opas_, bg_):
+        return render_many(
+            cams_, mns_, cvs_, shs_, opas_, image_shape, bg_,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            max_per_tile=max_per_tile,
+            chunk=chunk,
+            impl=impl,
+        )
+
+    bgs = background_color.reshape(n, 3)
+    if shard_data is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axis = shard_data
+        spec = P(axis)
+        run = shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: spec, cams), spec, spec, spec, spec, spec),
+            out_specs=spec,
+            check_rep=False,
+        )
+    out = run(cams, mns, cvs, shs, opas, bgs)
     return DecoderOutput(
         color=out.color.reshape(b, v, h, w, 3),
         depth=out.depth.reshape(b, v, h, w),

@@ -502,6 +502,9 @@ class Trainer:
                     identity_branch=self.loss_bundle.needs_identity_branch(),
                     distill=self.distill,
                     portrait=hh > ww,
+                    # Keep the fused render's sort inside each data shard
+                    # (see render_gaussians shard_data).
+                    shard_data=(self.mesh, "data"),
                     **self._render_kwargs,
                 )
                 if self.distill is not None:
