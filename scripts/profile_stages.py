@@ -197,6 +197,25 @@ def main():
 
     record("project+bin+sort", (project_bin_sort, (means, covs, opas), perturb_means))
 
+    def project_only(mns, cvs):
+        proj = project_gaussians(cam, mns, cvs)
+        return sum(jnp.sum(x.astype(jnp.float32)) * 1e-12
+                   for x in (proj.means2d, proj.conics, proj.depths, proj.radii))
+
+    record("project only", (project_only, (means, covs), perturb_means))
+
+    def bin_only(mns, cvs, op):
+        proj = project_gaussians(cam, mns, cvs)
+        pair_tiles, pair_depths, pair_gidx = _build_pairs(
+            proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
+            render_kwargs["max_tiles_per_gaussian"], opacities=op,
+            conics=proj.conics,
+        )
+        return (jnp.sum(pair_tiles.astype(jnp.float32)) * 1e-12
+                + jnp.sum(pair_depths) * 1e-12 + jnp.sum(pair_gidx) * 1e-12)
+
+    record("project+bin (no sort)", (bin_only, (means, covs, opas), perturb_means))
+
     # -- kernel-isolation slices (share one precomputed bin/sort) ------------
     from styl3r_tpu.ops.rasterizer.pallas_kernel import (
         composite_tiles_pallas, pack_attrs,

@@ -287,8 +287,8 @@ def test_registries():
     assert type(get_backbone("croco_multi")).__name__ == "MultiViewCrocoBackbone"
     assert callable(get_decoder("splatting_cuda"))
     assert type(get_distiller("mast3r")).__name__ == "Dust3RTeacher"
-    with pytest.raises(NotImplementedError):
-        get_backbone("resnet")
+    assert type(get_backbone("resnet", model="resnet18")).__name__ == "BackboneResnet"
+    assert type(get_backbone("dino", model="dino_vits8")).__name__ == "BackboneDino"
     with pytest.raises(ValueError):
         get_encoder("bogus")
 
