@@ -24,6 +24,7 @@ from typing import Dict, List
 class Benchmarker:
     def __init__(self):
         self.execution_times: Dict[str, List[float]] = defaultdict(list)
+        self._group_sizes: Dict[str, List[int]] = defaultdict(list)
         self._roundtrip = None
 
     def calibrate(self) -> float:
@@ -73,12 +74,21 @@ class Benchmarker:
                 elapsed = max(elapsed - self._roundtrip, 0.0)
             for _ in range(num_calls):
                 self.execution_times[tag].append(elapsed / num_calls)
+            self._group_sizes[tag].append(num_calls)
 
     def summarize(self) -> Dict[str, float]:
-        return {
-            tag: sum(times) / len(times)
-            for tag, times in self.execution_times.items()
-        }
+        """Per-tag mean (reference benchmarker contract) plus `<tag>_steady`:
+        the mean excluding each tag's first sample, which pays the jit
+        compile (minutes on the remote-compile backend — the plain mean is
+        meaningless at small scene counts)."""
+        out = {}
+        for tag, times in self.execution_times.items():
+            out[tag] = sum(times) / len(times)
+            first_group = (self._group_sizes[tag] or [1])[0]
+            steady = times[first_group:]
+            if steady:
+                out[f"{tag}_steady"] = sum(steady) / len(steady)
+        return out
 
     def dump(self, path: Path) -> None:
         path = Path(path)
@@ -105,3 +115,4 @@ class Benchmarker:
 
     def clear_history(self) -> None:
         self.execution_times.clear()
+        self._group_sizes.clear()
