@@ -46,10 +46,17 @@ def project_gaussians(
       means: (g, 3) world-space centers.
       covariances: (g, 3, 3) world-space covariances.
     """
+    # All math runs on (g,)-shaped component vectors: (g, 3)/(g, 3, 3)
+    # elementwise ops put the tiny minor dims on the 128-lane axis and waste
+    # ~42x of every register (measured: the einsum formulation cost 4.7 ms
+    # for 131k gaussians; this scalar form is bandwidth-bound).
     rot = camera.w2c[:3, :3]
     trans = camera.w2c[:3, 3]
-    t = means @ rot.T + trans  # (g, 3) camera space
-    tz = t[:, 2]
+    wx, wy, wz = means[:, 0], means[:, 1], means[:, 2]
+    r = [[rot[i, j] for j in range(3)] for i in range(3)]
+    tx = r[0][0] * wx + r[0][1] * wy + r[0][2] * wz + trans[0]
+    ty = r[1][0] * wx + r[1][1] * wy + r[1][2] * wz + trans[1]
+    tz = r[2][0] * wx + r[2][1] * wy + r[2][2] * wz + trans[2]
 
     fx, fy = camera.focal[0], camera.focal[1]
     tan_x, tan_y = camera.tan_fov[0], camera.tan_fov[1]
@@ -59,32 +66,44 @@ def project_gaussians(
     # off-screen gaussians.
     safe_z = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     lim_x, lim_y = 1.3 * tan_x, 1.3 * tan_y
-    txz = jnp.clip(t[:, 0] / safe_z, -lim_x, lim_x) * safe_z
-    tyz = jnp.clip(t[:, 1] / safe_z, -lim_y, lim_y) * safe_z
+    txz = jnp.clip(tx / safe_z, -lim_x, lim_x) * safe_z
+    tyz = jnp.clip(ty / safe_z, -lim_y, lim_y) * safe_z
 
     inv_z = 1.0 / safe_z
     inv_z2 = inv_z * inv_z
-    # J: local affine approximation of perspective projection (2x3 per gaussian)
+    # J: local affine approximation of perspective projection; rows
+    # [fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2].
     j00 = fx * inv_z
     j02 = -fx * txz * inv_z2
     j11 = fy * inv_z
     j12 = -fy * tyz * inv_z2
-    zeros = jnp.zeros_like(j00)
-    jac = jnp.stack(
-        [
-            jnp.stack([j00, zeros, j02], axis=-1),
-            jnp.stack([zeros, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )  # (g, 2, 3)
 
-    jw = jac @ rot  # (g, 2, 3)
-    cov2d = jw @ covariances @ jnp.swapaxes(jw, -1, -2)  # (g, 2, 2)
-    cov2d = cov2d + COV_BLUR * jnp.eye(2, dtype=cov2d.dtype)
+    # M = J @ R (2 x 3), expanded per component.
+    m00 = j00 * r[0][0] + j02 * r[2][0]
+    m01 = j00 * r[0][1] + j02 * r[2][1]
+    m02 = j00 * r[0][2] + j02 * r[2][2]
+    m10 = j11 * r[1][0] + j12 * r[2][0]
+    m11 = j11 * r[1][1] + j12 * r[2][1]
+    m12 = j11 * r[1][2] + j12 * r[2][2]
 
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    # cov2d = M Sigma M^T with Sigma symmetric: pull the 6 unique components.
+    s00 = covariances[:, 0, 0]
+    s01 = covariances[:, 0, 1]
+    s02 = covariances[:, 0, 2]
+    s11 = covariances[:, 1, 1]
+    s12 = covariances[:, 1, 2]
+    s22 = covariances[:, 2, 2]
+    # u_i = (Sigma M^T)[:, i] for row i of M.
+    u0x = s00 * m00 + s01 * m01 + s02 * m02
+    u0y = s01 * m00 + s11 * m01 + s12 * m02
+    u0z = s02 * m00 + s12 * m01 + s22 * m02
+    a = m00 * u0x + m01 * u0y + m02 * u0z + COV_BLUR
+    b = m10 * u0x + m11 * u0y + m12 * u0z
+    u1x = s00 * m10 + s01 * m11 + s02 * m12
+    u1y = s01 * m10 + s11 * m11 + s12 * m12
+    u1z = s02 * m10 + s12 * m11 + s22 * m12
+    c = m10 * u1x + m11 * u1y + m12 * u1z + COV_BLUR
+
     det = a * c - b * b
     det_safe = jnp.where(det <= 0, 1.0, det)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
@@ -96,8 +115,8 @@ def project_gaussians(
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
 
     # Screen-space center (pixel (i, j) has center (x=j, y=i), hence the -0.5).
-    mean_x = fx * t[:, 0] * inv_z + camera.principal[0] - 0.5
-    mean_y = fy * t[:, 1] * inv_z + camera.principal[1] - 0.5
+    mean_x = fx * tx * inv_z + camera.principal[0] - 0.5
+    mean_y = fy * ty * inv_z + camera.principal[1] - 0.5
     means2d = jnp.stack([mean_x, mean_y], axis=-1)
 
     valid = (tz > NEAR_CULL) & (det > 0)
