@@ -276,13 +276,21 @@ def main():
         (means,), perturb_means,
     ))
 
+    # All gaussian fields ride as ARGUMENTS: closing non-perturbed fields over
+    # the jit lets XLA constant-fold half the projection/binning, which made
+    # this slice report ~2x faster than its true in-situ cost.
     record("render (proj+sort+composite)", (
-        lambda mns: render_gaussians(
-            gaussians._replace(means=mns), batch.target_extrinsics,
+        lambda mns, cvs, sh, op: render_gaussians(
+            gaussians._replace(
+                means=mns, covariances=cvs, harmonics=sh, opacities=op
+            ),
+            batch.target_extrinsics,
             batch.target_intrinsics, batch.target_near, batch.target_far,
             (h, w), **render_kwargs,
         ).color,
-        (gaussians.means,), perturb_means,
+        (gaussians.means, gaussians.covariances, gaussians.harmonics,
+         gaussians.opacities),
+        perturb_means,
     ))
 
     record("full forward", (

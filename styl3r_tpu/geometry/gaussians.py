@@ -62,12 +62,35 @@ def quat_to_rotmat(quat_xyzw: jax.Array, eps: float = 1e-8) -> jax.Array:
 def build_covariance(scales: jax.Array, rotations_xyzw: jax.Array) -> jax.Array:
     """World-space covariance Σ = R S Sᵀ Rᵀ from per-axis scales and a quaternion.
 
-    Reference: `src/model/encoder/common/gaussians.py:33-45`. Formulated without
-    materializing diag matrices: Σ = (R * s²[None, :]) @ Rᵀ, which XLA fuses better.
+    Reference: `src/model/encoder/common/gaussians.py:33-45`. Expanded as
+    scalar component math on (..., g)-shaped vectors — (g, 3, 3) einsums put
+    the tiny matrix dims on the 128-lane axis and waste ~42x of every
+    register (same finding as the EWA projection, ops/rasterizer/project.py).
+    Only the final (..., 3, 3) assembly materializes matrices.
     """
-    rot = quat_to_rotmat(rotations_xyzw)
-    s2 = scales * scales
-    return jnp.einsum("...ik,...k,...jk->...ij", rot, s2, rot)
+    i, j, k, r = jnp.moveaxis(rotations_xyzw, -1, 0)
+    two_s = 2.0 / (jnp.sum(rotations_xyzw * rotations_xyzw, axis=-1) + 1e-8)
+    r00 = 1 - two_s * (j * j + k * k)
+    r01 = two_s * (i * j - k * r)
+    r02 = two_s * (i * k + j * r)
+    r10 = two_s * (i * j + k * r)
+    r11 = 1 - two_s * (i * i + k * k)
+    r12 = two_s * (j * k - i * r)
+    r20 = two_s * (i * k - j * r)
+    r21 = two_s * (j * k + i * r)
+    r22 = 1 - two_s * (i * i + j * j)
+    s0 = scales[..., 0] ** 2
+    s1 = scales[..., 1] ** 2
+    s2 = scales[..., 2] ** 2
+    # Σ_ab = sum_k R_ak s_k R_bk (6 unique entries).
+    c00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    c01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    c02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    c11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    c12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    c22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    cov = jnp.stack([c00, c01, c02, c01, c11, c12, c02, c12, c22], axis=-1)
+    return cov.reshape(*cov.shape[:-1], 3, 3)
 
 
 def covariance_to_upper_triangle(cov: jax.Array) -> jax.Array:
