@@ -314,3 +314,101 @@ class Styl3rTokenStyleEncoder2View(nn.Module):
                 "densities": densities,
             }
         return gaussians
+
+
+class NoPoSplatMultiEncoder(nn.Module):
+    """The style-free NoPoSplat N-view encoder, architecture-faithful
+    (encoder_noposplat_multi.py:126-233): multiview CroCo backbone ->
+    per-view pts3d heads + dpt_gs heads that emit the FULL raw gaussian
+    channels (opacity + scale/rot + 3*d_sh SH) — no token stylizer /
+    appearance branch. Registry names `noposplat` / `noposplat_multi`."""
+
+    sh_degree: int = 0
+    patch_size: int = 16
+    opacity_initial: float = 0.0
+    opacity_final: float = 0.0
+    opacity_warm_up: int = 1
+    backbone_dtype: Dtype = jnp.float32
+    head_trunk_dtype: Dtype = None
+    enc_depth: int = 24
+    dec_depth: int = 12
+    enc_dim: int = 1024
+    dec_dim: int = 768
+    enc_heads: int = 16
+    dec_heads: int = 12
+    head_feature_dim: int = 256
+    head_last_dim: int = 128
+    head_layer_dims: tuple = (96, 192, 384, 768)
+
+    def setup(self):
+        dims = dict(
+            enc_depth=self.enc_depth,
+            dec_depth=self.dec_depth,
+            enc_dim=self.enc_dim,
+            dec_dim=self.dec_dim,
+            enc_heads=self.enc_heads,
+            dec_heads=self.dec_heads,
+        )
+        self.backbone = MultiViewCrocoBackbone(
+            patch_size=self.patch_size, dtype=self.backbone_dtype, **dims
+        )
+        l2 = self.dec_depth
+        hooks = (0, l2 * 2 // 4, l2 * 3 // 4, l2)
+        head_dims = dict(
+            patch_size=self.patch_size,
+            hooks=hooks,
+            feature_dim=self.head_feature_dim,
+            layer_dims=self.head_layer_dims,
+            trunk_dtype=self.head_trunk_dtype,
+        )
+        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
+        self.head2 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
+        full_channels = 1 + raw_gaussian_channels(self.sh_degree)
+        self.gaussian_param_head = DPTGSHead(out_channels=full_channels, **head_dims)
+        self.gaussian_param_head2 = DPTGSHead(out_channels=full_channels, **head_dims)
+
+    def __call__(
+        self,
+        context_images: Array,
+        context_intrinsics: Array,
+        style_image: Array = None,  # accepted and ignored (uniform interface)
+        global_step: Array | int = 0,
+        deterministic: bool = True,
+        return_aux: bool = False,
+    ):
+        b, v, h, w, _ = context_images.shape
+        _, _, dec_feat = self.backbone(context_images, context_intrinsics)
+
+        f32 = jnp.float32
+        dec0 = [t[:, 0].astype(f32) for t in dec_feat]
+        decr = [t[:, 1:].reshape(b * (v - 1), *t.shape[2:]).astype(f32) for t in dec_feat]
+        pts0 = self.head1(dec0, (h, w))
+        ptsr = self.head2(decr, (h, w)).reshape(b, v - 1, h, w, 3)
+        pts_all = jnp.concatenate([pts0[:, None], ptsr], axis=1)
+
+        imgs = context_images.astype(f32)
+        gs0 = self.gaussian_param_head(dec0, imgs[:, 0], (h, w), deterministic)
+        gsr = self.gaussian_param_head2(
+            decr, imgs[:, 1:].reshape(b * (v - 1), h, w, 3), (h, w), deterministic
+        )
+        raw = jnp.concatenate(
+            [gs0[:, None], gsr.reshape(b, v - 1, h, w, -1)], axis=1
+        )
+        densities = nn.sigmoid(raw[..., 0])
+        opacities = map_pdf_to_opacity(
+            densities, global_step, self.opacity_initial, self.opacity_final,
+            self.opacity_warm_up,
+        )
+        gaussians = unified_gaussian_adapter(
+            means=pts_all.reshape(b, v * h * w, 3),
+            opacities=opacities.reshape(b, v * h * w),
+            raw=raw[..., 1:].reshape(b, v * h * w, -1),
+            sh_degree=self.sh_degree,
+        )
+        if return_aux:
+            return gaussians, {
+                "pts3d": pts_all,
+                "depths": pts_all[..., 2],
+                "densities": densities,
+            }
+        return gaussians

@@ -65,9 +65,11 @@ def get_encoder(name: str, **kwargs):
 
         return Styl3rTokenStyleEncoder2View(**kwargs)
     if name in ("noposplat", "noposplat_multi"):
-        # Style-free NVS encoders: same network; train with stylized=False
-        # (style := context view 0) to reproduce them.
-        return Styl3rEncoder(**kwargs)
+        # Style-free NVS encoders: architecture-faithful (no stylizer branch,
+        # full-width dpt_gs heads; encoder_noposplat_multi.py:126-233).
+        from .encoder import NoPoSplatMultiEncoder
+
+        return NoPoSplatMultiEncoder(**kwargs)
     raise ValueError(f"unknown encoder: {name}")
 
 

@@ -305,6 +305,22 @@ def merge_params(base, partial):
     return partial
 
 
+def convert_noposplat_multi_encoder(state_dict: Mapping, prefix: str = "encoder.") -> Dict:
+    """NoPoSplat checkpoint -> NoPoSplatMultiEncoder params (the style-free
+    architecture itself, full-width dpt_gs heads — no row splitting;
+    encoder_noposplat_multi.py:126-233)."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    return {
+        "params": {
+            "backbone": convert_backbone(sd, "backbone"),
+            "head1": convert_pts3d_head(sd, "downstream_head1"),
+            "head2": convert_pts3d_head(sd, "downstream_head2"),
+            "gaussian_param_head": convert_gs_head(sd, "gaussian_param_head", True),
+            "gaussian_param_head2": convert_gs_head(sd, "gaussian_param_head2", True),
+        }
+    }
+
+
 def convert_noposplat_encoder(state_dict: Mapping, sh_degree: int = 0) -> Dict:
     """NoPoSplat release `.ckpt` -> partial Styl3rEncoder params for the
     stage-2 style warm start (main_style.py:136-152): backbone + pts3d heads

@@ -905,3 +905,125 @@ def test_token_style_2view_encoder_matches_executed_reference():
         ref_g.harmonics.reshape(B, -1, 3, 1).numpy(),
         atol=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_noposplat_multi_encoder_matches_executed_reference():
+    """The style-free NoPoSplat N-view encoder (EncoderNoPoSplatMulti,
+    encoder_noposplat_multi.py:126-233) vs the executed reference at reduced
+    dims, end-to-end through convert_noposplat_multi_encoder."""
+    _load_reference_encoder_module()
+    bb_mod = sys.modules["refenc.model.encoder.backbone.backbone_croco_multiview"]
+    bb_mod.croco_params["ViTLarge_BaseDecoder"] = dict(TINY_CROCO)
+
+    def exec_mod(dotted, relfile):
+        full = f"refenc.{dotted}"
+        if full in sys.modules and getattr(sys.modules[full], "__spec__", None):
+            return sys.modules[full]
+        spec = importlib.util.spec_from_file_location(full, REF / relfile)
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = full.rsplit(".", 1)[0]
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    npm = exec_mod(
+        "model.encoder.encoder_noposplat_multi",
+        "model/encoder/encoder_noposplat_multi.py",
+    )
+    bc = sys.modules["refenc.model.encoder.backbone.backbone_croco"]
+    ga = sys.modules["refenc.model.encoder.common.gaussian_adapter"]
+    viz = sys.modules["refenc.model.encoder.visualization.encoder_visualizer_epipolar_cfg"]
+    np_mod = sys.modules["refenc.model.encoder.encoder_noposplat"]
+
+    cfg = np_mod.EncoderNoPoSplatCfg(
+        name="noposplat_multi",
+        d_feature=32,
+        num_monocular_samples=1,
+        backbone=bc.BackboneCrocoCfg(
+            name="croco_multi",
+            model="ViTLarge_BaseDecoder",
+            intrinsics_embed_loc="encoder",
+            intrinsics_embed_type="token",
+        ),
+        visualizer=viz.EncoderVisualizerEpipolarCfg(
+            num_samples=1, min_resolution=32, export_ply=False
+        ),
+        gaussian_adapter=ga.GaussianAdapterCfg(
+            gaussian_scale_min=0.5, gaussian_scale_max=15.0, sh_degree=0
+        ),
+        apply_bounds_shim=False,
+        opacity_mapping=npm.OpacityMappingCfg(initial=0.0, final=0.0, warm_up=1),
+        gaussians_per_pixel=1,
+        num_surfaces=1,
+        gs_params_head_type="dpt_gs",
+        pose_free=True,
+    )
+    torch.manual_seed(19)
+    ref = npm.EncoderNoPoSplatMulti(cfg)
+    ref.backbone.intrinsic_encoder = torch.nn.Linear(9, TINY_CROCO["enc_embed_dim"])
+    ref = ref.eval()
+
+    # Latent reference bug: this forward unpacks `dec_feat, shape, images`
+    # from the backbone, but AsymmetricCroCoMulti.forward returns 5 values
+    # (it was evolved for the token-style encoder; encoder_noposplat_multi.py
+    # was not updated). Adapt with a 3-tuple wrapper around the real backbone.
+    real_bb = ref.backbone
+
+    class _BB3(torch.nn.Module):
+        def forward(self, context):
+            _, _, dec_feat, shape, images = real_bb(context)
+            return dec_feat, shape, images
+
+    object.__setattr__(ref, "backbone", _BB3())
+
+    B, V, H, W = 1, 3, 64, 64
+    rng = np.random.default_rng(20)
+    images = rng.uniform(-1, 1, (B, V, 3, H, W)).astype(np.float32)
+    intr = np.tile(np.eye(3, dtype=np.float32), (B, V, 1, 1))
+    intr[..., 0, 0] = 0.95
+    intr[..., 1, 1] = 1.05
+    intr[..., :2, 2] = 0.5
+
+    with torch.no_grad():
+        ref_g = ref(
+            {"image": torch.from_numpy(images), "intrinsics": torch.from_numpy(intr)},
+            global_step=0,
+        )
+
+    from styl3r_tpu.models.encoder import NoPoSplatMultiEncoder
+    from styl3r_tpu.utils.checkpoint import convert_noposplat_multi_encoder
+
+    sd = {f"encoder.{k}": v for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_noposplat_multi_encoder(sd))
+    mine = NoPoSplatMultiEncoder(
+        sh_degree=0,
+        enc_depth=TINY_CROCO["enc_depth"],
+        dec_depth=TINY_CROCO["dec_depth"],
+        enc_dim=TINY_CROCO["enc_embed_dim"],
+        dec_dim=TINY_CROCO["dec_embed_dim"],
+        enc_heads=TINY_CROCO["enc_num_heads"],
+        dec_heads=TINY_CROCO["dec_num_heads"],
+    )
+    g = mine.apply(
+        params,
+        jnp.asarray(images.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(intr),
+        global_step=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.means), ref_g.means.reshape(B, -1, 3).numpy(), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.opacities), ref_g.opacities.reshape(B, -1).numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.covariances),
+        ref_g.covariances.reshape(B, -1, 3, 3).numpy(),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.harmonics),
+        ref_g.harmonics.reshape(B, -1, 3, 1).numpy(),
+        atol=1e-4,
+    )
