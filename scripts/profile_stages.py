@@ -36,12 +36,14 @@ def time_scan(fn, args, perturb, n):
     def run(args):
         def body(carry, _):
             out = fn(*perturb(args, carry))
-            # Full-sum every output leaf: consuming only one element lets XLA
-            # dead-code-eliminate or narrow most of the stage under test
-            # (measured: a [0]-element reduction reported a 0.14 ms "ViT-L
-            # forward"). The reductions themselves are bandwidth-trivial.
+            # Consume every output leaf with a NON-LINEAR reduction: consuming
+            # one element lets XLA dead-code-eliminate the stage, and a plain
+            # sum is linear, so XLA reassociates it THROUGH the stage's final
+            # convs/matmuls and skips computing the full outputs (measured:
+            # plain sums reported the heads stage ~9 ms under its true cost).
+            # sum(x*x) cannot fold through linear ops.
             tot = sum(
-                jnp.sum(leaf.astype(jnp.float32)) * 1e-12
+                jnp.sum(jnp.square(leaf.astype(jnp.float32))) * 1e-12
                 for leaf in jax.tree_util.tree_leaves(out)
             )
             return carry * 0.5 + tot * 1e-12, ()
