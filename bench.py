@@ -64,6 +64,9 @@ def main():
     model = Styl3rModel(
         sh_degree=0,
         backbone_dtype=jnp.bfloat16,
+        # DPT conv trunks + full-res gs towers in bf16 (params and every
+        # final projection stay f32; pts3d's last two convs + expm1 stay f32).
+        head_trunk_dtype=jnp.bfloat16,
         **(tiny if args.tiny else {}),
     )
     h = w = args.size if not args.tiny else 64

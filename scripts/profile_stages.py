@@ -16,6 +16,7 @@ left unattributed. The output is committed as PROFILE_r{N}.json.
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -102,7 +103,9 @@ def main():
     b, v = args.batch, args.views
     tiny = dict(enc_depth=2, dec_depth=4, enc_dim=32, dec_dim=16, enc_heads=2, dec_heads=2)
     model = Styl3rModel(
-        sh_degree=0, backbone_dtype=jnp.bfloat16, **(tiny if args.tiny else {})
+        sh_degree=0, backbone_dtype=jnp.bfloat16,
+        head_trunk_dtype=jnp.bfloat16,  # match bench.py's fast-inference config
+        **(tiny if args.tiny else {}),
     )
     rng = np.random.default_rng(0)
     batch = _example_batch(rng, b=b, v=v, h=h, w=w, t=1, style_hw=h)
@@ -301,6 +304,74 @@ def main():
         )[1].color,
         (params, batch.context_images), perturb_img,
     ))
+
+    # -- chained in-situ slices ----------------------------------------------
+    # predict -> (render pipeline truncated at stage K), all in ONE jit, so
+    # each difference gives the *in-situ* cost of a render stage downstream of
+    # the live encoder (isolated slices can mis-state costs when XLA fuses /
+    # lays out differently across the predict|render boundary). Select with
+    # --stages chain.
+    t_views = batch.target_extrinsics.shape[1]
+    nviews = b * t_views
+    vidx_t = jnp.arange(nviews) // t_views
+
+    def chain_to(stage):
+        def fn(p, im, k, s):
+            g = enc.apply(p, im, k, s)
+            ext = batch.target_extrinsics.reshape(nviews, 4, 4)
+            intr = batch.target_intrinsics.reshape(nviews, 3, 3)
+            nr = batch.target_near.reshape(nviews)
+            fr = batch.target_far.reshape(nviews)
+            cams = make_raster_camera(ext, intr, nr, fr, (h, w))
+            mns = g.means[vidx_t]
+            scl = g.scales[vidx_t]
+            rot = g.rotations[vidx_t]
+            opa = g.opacities[vidx_t]
+            shs = g.harmonics[vidx_t]
+            proj = jax.vmap(
+                lambda c, m, sc, ro: project_gaussians(c, m, scales=sc, rotations=ro)
+            )(cams, mns, scl, rot)
+            if stage == "project":
+                return proj.means2d, proj.conics, proj.depths, proj.radii
+            gy2, gx2 = h // TILE, w // TILE
+            n_tiles = gy2 * gx2
+            pt, pd, pg = jax.vmap(
+                functools.partial(
+                    _build_pairs, grid=(gy2, gx2),
+                    max_tiles_per_gaussian=render_kwargs["max_tiles_per_gaussian"],
+                )
+            )(proj.means2d, proj.radii, proj.depths, proj.mask,
+              opacities=opa, conics=proj.conics)
+            view_ids = jnp.arange(nviews, dtype=jnp.int32)[:, None]
+            gg = mns.shape[1]
+            pt = jnp.where(pt >= n_tiles, nviews * n_tiles, pt + view_ids * n_tiles).reshape(-1)
+            pg = (pg + view_ids * gg).reshape(-1)
+            pd = pd.reshape(-1)
+            from styl3r_tpu.ops.rasterizer.render import _sort_pairs
+
+            _, sgidx, starts, ends = _sort_pairs(pt, pd, pg, nviews * n_tiles)
+            if stage == "binsort":
+                return sgidx, starts, ends
+            from styl3r_tpu.ops.rasterizer.pallas_kernel import pack_attrs as pa
+
+            dirs = mns - cams.cam_pos[:, None, :]
+            dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, -1, keepdims=True), 1e-8)
+            cols = eval_sh(shs, dirs)
+            flatv = lambda x: x.reshape((nviews * gg,) + x.shape[2:])
+            attrs = pa(flatv(proj.means2d), flatv(proj.conics),
+                       flatv(opa).astype(jnp.float32), flatv(cols),
+                       flatv(proj.depths), sgidx)
+            if stage == "pack":
+                return attrs, starts, ends
+            raise ValueError(stage)
+
+        return fn
+
+    for st in ("project", "binsort", "pack"):
+        record(f"chain:{st}", (
+            chain_to(st),
+            (params, imgs, batch.context_intrinsics, style), perturb_img,
+        ))
 
     if selected:
         return

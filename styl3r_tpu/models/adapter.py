@@ -128,9 +128,18 @@ def posed_gaussian_adapter(
     rotations = rotations / (jnp.linalg.norm(rotations, axis=-1, keepdims=True) + eps)
     sh = sh.reshape(*sh.shape[:-1], 3, n_sh) * sh_degree_mask(sh_degree, raw.dtype)
 
-    covariances = build_covariance(scales, rotations)
+    # World-space covariance via quaternion composition: Rc (R S² Rᵀ) Rcᵀ =
+    # (Rc R) S² (Rc R)ᵀ. Composing the camera rotation into the stored
+    # quaternion keeps scales/rotations exactly consistent with covariances
+    # (so the renderer's factor path and PLY export see world-frame
+    # orientations; the reference's matrix sandwich gaussian_adapter.py:86-88
+    # leaves its returned rotations camera-frame).
+    from ..geometry.gaussians import quat_mul_xyzw, rotmat_to_quat_xyzw
+
     c2w_rot = extrinsics[..., :3, :3]
-    covariances = c2w_rot @ covariances @ jnp.swapaxes(c2w_rot, -1, -2)
+    q_cam = rotmat_to_quat_xyzw(c2w_rot)
+    rotations = quat_mul_xyzw(q_cam, jnp.broadcast_to(rotations, (*scales.shape[:-1], 4)))
+    covariances = build_covariance(scales, rotations)
 
     origins, directions = get_world_rays(coordinates, extrinsics, intrinsics)
     means = origins + directions * depths[..., None]
@@ -141,5 +150,5 @@ def posed_gaussian_adapter(
         harmonics=sh,  # reference leaves SH unrotated (rotate_sh bypassed)
         opacities=opacities,
         scales=scales,
-        rotations=jnp.broadcast_to(rotations, (*scales.shape[:-1], 4)),
+        rotations=rotations,
     )

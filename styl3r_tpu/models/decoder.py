@@ -83,15 +83,29 @@ def render_gaussians(
     nr = near.reshape(n).astype(jnp.float32)
     fr = far.reshape(n).astype(jnp.float32)
     mns = gaussians.means[vidx]  # (n, g, 3)
-    cvs = gaussians.covariances[vidx]
     shs = gaussians.harmonics[vidx]
     opas = gaussians.opacities[vidx]
+    # Prefer the covariance factors over the assembled (g, 3, 3) tensor: the
+    # Σ components then fuse into the projection and the padded 3x3 tensor is
+    # never materialized (and is DCE'd upstream when nothing else reads it).
+    # Adapters keep scales/rotations consistent with covariances, including
+    # the posed adapter's world rotation (composed into the quaternion).
+    use_factors = gaussians.scales is not None and gaussians.rotations is not None
+    if use_factors:
+        scl = gaussians.scales[vidx]
+        rot = gaussians.rotations[vidx]
+        cvs = None
+    else:
+        cvs = gaussians.covariances[vidx]
 
     if scale_invariant:
         scale = (1.0 / nr)[:, None]
         ext = ext.at[:, :3, 3].multiply(scale)
         mns = mns * scale[..., None]
-        cvs = cvs * (scale**2)[..., None, None]
+        if use_factors:
+            scl = scl * scale[..., None]  # Σ scales quadratically in S
+        else:
+            cvs = cvs * (scale**2)[..., None, None]
         nr = nr * scale[:, 0]
         fr = fr * scale[:, 0]
 
@@ -101,9 +115,23 @@ def render_gaussians(
         cam_trans_delta=cam_trans_delta.reshape(n, 3),
     )
 
-    def run(cams_, mns_, cvs_, shs_, opas_, bg_):
+    if use_factors:
+        fields = dict(means=mns, scales=scl, rotations=rot,
+                      harmonics=shs, opacities=opas)
+    else:
+        fields = dict(means=mns, covariances=cvs, harmonics=shs, opacities=opas)
+
+    def run(cams_, fields_, bg_):
         return render_many(
-            cams_, mns_, cvs_, shs_, opas_, image_shape, bg_,
+            cams_,
+            fields_["means"],
+            fields_.get("covariances"),
+            fields_["harmonics"],
+            fields_["opacities"],
+            image_shape,
+            bg_,
+            scales=fields_.get("scales"),
+            rotations=fields_.get("rotations"),
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             max_per_tile=max_per_tile,
             chunk=chunk,
@@ -120,11 +148,15 @@ def render_gaussians(
         run = shard_map(
             run,
             mesh=mesh,
-            in_specs=(jax.tree.map(lambda _: spec, cams), spec, spec, spec, spec, spec),
+            in_specs=(
+                jax.tree.map(lambda _: spec, cams),
+                jax.tree.map(lambda _: spec, fields),
+                spec,
+            ),
             out_specs=spec,
             check_rep=False,
         )
-    out = run(cams, mns, cvs, shs, opas, bgs)
+    out = run(cams, fields, bgs)
     return DecoderOutput(
         color=out.color.reshape(b, v, h, w, 3),
         depth=out.depth.reshape(b, v, h, w),

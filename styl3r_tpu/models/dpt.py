@@ -266,22 +266,30 @@ class LinearGSHead(nn.Module):
 
 class GSParamsTower(nn.Module):
     """'gs_params' output tower (dpt_block.py:335-343): conv3x3 -> relu ->
-    dropout -> conv1x1."""
+    dropout -> conv1x1.
+
+    `conv_dtype` optionally runs the full-resolution conv3x3 (the single most
+    expensive conv in the whole model, ~77 GFLOP at 256^2) in reduced
+    precision; the final 1x1 projection always runs f32 so raw gaussian
+    channels come out f32."""
 
     out_channels: int
     feature_dim: int = 256
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    conv_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        cdt = self.conv_dtype or self.dtype
         x = nn.Conv(
-            self.feature_dim, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            self.feature_dim, (3, 3), padding=1, use_bias=False, dtype=cdt,
             name="head_conv1",
-        )(x)
+        )(x.astype(cdt))
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="head_conv2")(x)
+        x = x.astype(jnp.float32)
+        return nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32, name="head_conv2")(x)
 
 
 class DPTGSHead(nn.Module):
@@ -313,9 +321,10 @@ class DPTGSHead(nn.Module):
             self.feature_dim, (7, 7), padding=3, dtype=tdt, name="input_merger"
         )(images.astype(tdt))
         img_feat = nn.relu(img_feat)
-        x = (upsample2x(path1) + img_feat).astype(jnp.float32)
+        x = upsample2x(path1).astype(tdt) + img_feat
         return GSParamsTower(
-            self.out_channels, self.feature_dim, dtype=self.dtype, name="head"
+            self.out_channels, self.feature_dim, dtype=self.dtype, conv_dtype=tdt,
+            name="head",
         )(x, deterministic)
 
 
@@ -343,7 +352,8 @@ class DPTGSSHHead(nn.Module):
             hooks=self.hooks, layer_dims=self.layer_dims, feature_dim=self.feature_dim,
             patch_size=self.patch_size, dtype=tdt, name="trunk",
         )(tokens, image_size)
-        x = upsample2x(path1).astype(jnp.float32)
+        x = upsample2x(path1)
         return GSParamsTower(
-            self.out_channels, self.feature_dim, dtype=self.dtype, name="head"
+            self.out_channels, self.feature_dim, dtype=self.dtype, conv_dtype=tdt,
+            name="head",
         )(x, deterministic)

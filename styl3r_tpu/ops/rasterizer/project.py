@@ -14,7 +14,7 @@ so mean2d_x = fx_px * tx/tz + cx_px - 0.5.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 from jax import Array
@@ -37,14 +37,21 @@ COV_BLUR = 0.3  # low-pass floor added to the 2D covariance diagonal
 def project_gaussians(
     camera: RasterCamera,
     means: Array,
-    covariances: Array,
+    covariances: Optional[Array] = None,
+    scales: Optional[Array] = None,
+    rotations: Optional[Array] = None,
 ) -> ProjectedGaussians:
     """Project world-space gaussians into screen space for one camera.
 
     Args:
       camera: RasterCamera with unbatched fields (use vmap for view batches).
       means: (g, 3) world-space centers.
-      covariances: (g, 3, 3) world-space covariances.
+      covariances: (g, 3, 3) world-space covariances; OR
+      scales/rotations: (g, 3) + (g, 4) xyzw — the covariance factors. Passing
+        the factors lets the Σ components fuse into this projection, so the
+        padded (g, 3, 3) tensor (3x3 minor tile pads to 8x128 on TPU) is never
+        materialized; when only rendered outputs are consumed downstream, XLA
+        dead-code-eliminates the adapter's (g, 3, 3) assembly entirely.
     """
     # All math runs on (g,)-shaped component vectors: (g, 3)/(g, 3, 3)
     # elementwise ops put the tiny minor dims on the 128-lane axis and waste
@@ -87,12 +94,17 @@ def project_gaussians(
     m12 = j11 * r[1][2] + j12 * r[2][2]
 
     # cov2d = M Sigma M^T with Sigma symmetric: pull the 6 unique components.
-    s00 = covariances[:, 0, 0]
-    s01 = covariances[:, 0, 1]
-    s02 = covariances[:, 0, 2]
-    s11 = covariances[:, 1, 1]
-    s12 = covariances[:, 1, 2]
-    s22 = covariances[:, 2, 2]
+    if covariances is not None:
+        s00 = covariances[:, 0, 0]
+        s01 = covariances[:, 0, 1]
+        s02 = covariances[:, 0, 2]
+        s11 = covariances[:, 1, 1]
+        s12 = covariances[:, 1, 2]
+        s22 = covariances[:, 2, 2]
+    else:
+        from ...geometry.gaussians import covariance_components
+
+        s00, s01, s02, s11, s12, s22 = covariance_components(scales, rotations)
     # u_i = (Sigma M^T)[:, i] for row i of M.
     u0x = s00 * m00 + s01 * m01 + s02 * m02
     u0y = s01 * m00 + s11 * m01 + s12 * m02

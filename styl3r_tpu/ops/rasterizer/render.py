@@ -289,12 +289,14 @@ def _composite_jnp_view(
 def render_many(
     cameras: RasterCamera,  # leading dim (n,) on every field
     means: Array,  # (n, g, 3) per-view (pre-gathered/scaled) gaussians
-    covariances: Array,  # (n, g, 3, 3)
+    covariances: Optional[Array],  # (n, g, 3, 3); may be None with scales/rotations
     harmonics: Array,  # (n, g, 3, d_sh)
     opacities: Array,  # (n, g)
     image_shape: Tuple[int, int],
     backgrounds: Optional[Array] = None,  # (n, 3)
     *,
+    scales: Optional[Array] = None,  # (n, g, 3) covariance factors — see
+    rotations: Optional[Array] = None,  # (n, g, 4) project_gaussians docstring
     max_tiles_per_gaussian: int = 32,
     max_per_tile: int = 4096,
     chunk: int = 64,
@@ -326,7 +328,12 @@ def render_many(
     if backgrounds is None:
         backgrounds = jnp.zeros((n, 3), dtype)
 
-    proj = jax.vmap(project_gaussians)(cameras, means, covariances)
+    if scales is not None and rotations is not None:
+        proj = jax.vmap(
+            lambda cam, m, s, r: project_gaussians(cam, m, scales=s, rotations=r)
+        )(cameras, means, scales, rotations)
+    else:
+        proj = jax.vmap(project_gaussians)(cameras, means, covariances)
     dirs = means - cameras.cam_pos[:, None, :]
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
     colors = eval_sh(harmonics, dirs)  # (n, g, 3)
@@ -401,12 +408,14 @@ def render_many(
 def render(
     camera: RasterCamera,
     means: Array,
-    covariances: Array,
+    covariances: Optional[Array],
     harmonics: Array,
     opacities: Array,
     image_shape: Tuple[int, int],
     background: Optional[Array] = None,
     *,
+    scales: Optional[Array] = None,
+    rotations: Optional[Array] = None,
     max_tiles_per_gaussian: int = 32,
     max_per_tile: int = 4096,
     chunk: int = 64,
@@ -419,14 +428,19 @@ def render(
       means/covariances/harmonics/opacities: (g, 3), (g, 3, 3), (g, 3, d_sh), (g,).
       image_shape: (h, w), each divisible by 16.
       background: (3,) color, defaults to black.
+      scales/rotations: optional (g, 3)/(g, 4) covariance factors replacing
+        `covariances` (pass covariances=None) — see project_gaussians.
       impl: 'jnp' | 'pallas' | 'pallas_interpret'.
     """
     if background is None:
         background = jnp.zeros((3,), means.dtype)
     out = render_many(
         jax.tree.map(lambda x: jnp.asarray(x)[None], camera),
-        means[None], covariances[None], harmonics[None], opacities[None],
+        means[None], None if covariances is None else covariances[None],
+        harmonics[None], opacities[None],
         image_shape, background[None],
+        scales=None if scales is None else scales[None],
+        rotations=None if rotations is None else rotations[None],
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         max_per_tile=max_per_tile, chunk=chunk, impl=impl,
     )

@@ -92,6 +92,31 @@ def test_encoder_shapes_and_determinism():
 
 
 @pytest.mark.slow
+def test_bf16_head_trunk_close_to_f32():
+    """The bench/profile fast-inference config (bf16 DPT trunks + gs towers,
+    f32 final projections) must stay numerically close to the default all-f32
+    heads: same params, same inputs, small relative drift in the predicted
+    gaussians."""
+    rng = np.random.default_rng(7)
+    batch = tiny_batch(rng)
+    imgs = batch.context_images * 2 - 1
+    style = batch.style_image * 2 - 1
+    enc_f32 = Styl3rEncoder(sh_degree=0, **TINY)
+    enc_bf16 = Styl3rEncoder(sh_degree=0, head_trunk_dtype=jnp.bfloat16, **TINY)
+    params = enc_f32.init(jax.random.key(0), imgs, batch.context_intrinsics, style)
+    g32 = enc_f32.apply(params, imgs, batch.context_intrinsics, style)
+    g16 = enc_bf16.apply(params, imgs, batch.context_intrinsics, style)
+    # Outputs are raw-f32 everywhere; bf16 trunk rounding should stay ~1e-2.
+    for name in ("opacities", "harmonics"):
+        a, b = np.asarray(getattr(g32, name)), np.asarray(getattr(g16, name))
+        scale = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / scale < 3e-2, name
+    # pts3d means run the same trunk dtype but keep their last convs f32.
+    a, b = np.asarray(g32.means), np.asarray(g16.means)
+    assert np.abs(a - b).mean() / (np.abs(a).mean() + 1e-6) < 3e-2
+
+
+@pytest.mark.slow
 def test_model_forward_renders():
     rng = np.random.default_rng(2)
     model = Styl3rModel(sh_degree=0, **TINY)

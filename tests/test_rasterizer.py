@@ -364,3 +364,100 @@ def test_render_many_fused_matches_per_view():
     g_jnp = jax.grad(loss("jnp"))(mns)
     g_pal = jax.grad(loss("pallas_interpret"))(mns)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_jnp), atol=2e-3, rtol=1e-3)
+
+
+def test_rotmat_to_quat_roundtrip():
+    """rotmat_to_quat_xyzw inverts quat_to_rotmat up to sign, for random
+    rotations including near-degenerate traces."""
+    from styl3r_tpu.geometry.gaussians import quat_to_rotmat, rotmat_to_quat_xyzw
+
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(64, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    # Include axis-aligned 180-degree rotations (trace = -1 corner cases).
+    q = np.concatenate(
+        [q, np.eye(4, dtype=np.float32), -np.eye(4, dtype=np.float32)], 0
+    )
+    r = quat_to_rotmat(jnp.asarray(q))
+    q2 = rotmat_to_quat_xyzw(r)
+    r2 = quat_to_rotmat(q2)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r), atol=1e-5)
+
+
+def test_render_factors_matches_covariances():
+    """Rendering from (scales, rotations) covariance factors must match
+    rendering from the assembled (g, 3, 3) covariances — the factor path is
+    the decoder's default whenever the adapter provides factors."""
+    from styl3r_tpu.geometry.gaussians import build_covariance
+
+    rng = np.random.default_rng(11)
+    g = 150
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-1, 1, g), rng.uniform(-1, 1, g), rng.uniform(2, 5, g)], -1
+        ),
+        jnp.float32,
+    )
+    scales = jnp.asarray(rng.uniform(0.02, 0.25, (g, 3)), jnp.float32)
+    quats = rng.normal(size=(g, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    rots = jnp.asarray(quats)
+    covs = build_covariance(scales, rots)
+    shs = jnp.asarray(rng.uniform(-0.5, 0.5, (g, 3, 1)), jnp.float32)
+    opas = jnp.asarray(rng.uniform(0.3, 0.9, g), jnp.float32)
+    cam = default_camera()
+    kw = dict(max_per_tile=256, max_tiles_per_gaussian=8, impl="jnp")
+
+    ref = render(cam, means, covs, shs, opas, (H, W), **kw)
+    fac = render(cam, means, None, shs, opas, (H, W),
+                 scales=scales, rotations=rots, **kw)
+    np.testing.assert_allclose(np.asarray(fac.color), np.asarray(ref.color), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fac.depth), np.asarray(ref.depth), atol=1e-4)
+
+
+def test_decoder_uses_factors_when_present():
+    """render_gaussians must produce identical images whether the Gaussians
+    pytree carries factors (scales/rotations set -> factor path) or only the
+    assembled covariances, including under scale_invariant rescaling."""
+    from styl3r_tpu.geometry.gaussians import Gaussians, build_covariance
+    from styl3r_tpu.models.decoder import render_gaussians
+
+    rng = np.random.default_rng(12)
+    b, g = 2, 90
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-1, 1, (b, g)), rng.uniform(-1, 1, (b, g)),
+             rng.uniform(2, 5, (b, g))], -1
+        ),
+        jnp.float32,
+    )
+    scales = jnp.asarray(rng.uniform(0.02, 0.2, (b, g, 3)), jnp.float32)
+    quats = rng.normal(size=(b, g, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    rots = jnp.asarray(quats)
+    covs = build_covariance(scales, rots)
+    shs = jnp.asarray(rng.uniform(-0.5, 0.5, (b, g, 3, 1)), jnp.float32)
+    opas = jnp.asarray(rng.uniform(0.3, 0.9, (b, g)), jnp.float32)
+
+    k = jnp.broadcast_to(
+        jnp.asarray([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]], jnp.float32),
+        (b, 2, 3, 3),
+    )
+    ext = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 2, 4, 4)).copy()
+    ext[:, 1, 0, 3] = 0.2
+    ext = jnp.asarray(ext)
+    near = jnp.full((b, 2), 0.5)
+    far = jnp.full((b, 2), 100.0)
+    kw = dict(max_per_tile=256, max_tiles_per_gaussian=8, impl="jnp")
+
+    with_factors = Gaussians(means, covs, shs, opas, scales=scales, rotations=rots)
+    cov_only = Gaussians(means, covs, shs, opas)
+    for si in (False, True):
+        a = render_gaussians(with_factors, ext, k, near, far, (H, W),
+                             scale_invariant=si, **kw)
+        c = render_gaussians(cov_only, ext, k, near, far, (H, W),
+                             scale_invariant=si, **kw)
+        np.testing.assert_allclose(
+            np.asarray(a.color), np.asarray(c.color), atol=1e-5,
+            err_msg=f"scale_invariant={si}",
+        )
