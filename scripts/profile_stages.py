@@ -183,8 +183,8 @@ def main():
     def project_bin_sort(mns, cvs, op):
         proj = project_gaussians(cam, mns, cvs)
         pair_tiles, pair_depths, pair_gidx = _build_pairs(
-            proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
-            render_kwargs["max_tiles_per_gaussian"], opacities=op,
+            proj.mean_x, proj.mean_y, proj.radii, proj.depths, proj.mask,
+            (gy, gx), render_kwargs["max_tiles_per_gaussian"], opacities=op,
         )
         n_tiles = gy * gx
         tile_bits = max(int(n_tiles + 1).bit_length(), 1)
@@ -205,16 +205,17 @@ def main():
     def project_only(mns, cvs):
         proj = project_gaussians(cam, mns, cvs)
         return sum(jnp.sum(x.astype(jnp.float32)) * 1e-12
-                   for x in (proj.means2d, proj.conics, proj.depths, proj.radii))
+                   for x in (proj.mean_x, proj.mean_y, proj.con_a, proj.con_b,
+                             proj.con_c, proj.depths, proj.radii))
 
     record("project only", (project_only, (means, covs), perturb_means))
 
     def bin_only(mns, cvs, op):
         proj = project_gaussians(cam, mns, cvs)
         pair_tiles, pair_depths, pair_gidx = _build_pairs(
-            proj.means2d, proj.radii, proj.depths, proj.mask, (gy, gx),
-            render_kwargs["max_tiles_per_gaussian"], opacities=op,
-            conics=proj.conics,
+            proj.mean_x, proj.mean_y, proj.radii, proj.depths, proj.mask,
+            (gy, gx), render_kwargs["max_tiles_per_gaussian"], opacities=op,
+            con_a=proj.con_a, con_b=proj.con_b, con_c=proj.con_c,
         )
         return (jnp.sum(pair_tiles.astype(jnp.float32)) * 1e-12
                 + jnp.sum(pair_depths) * 1e-12 + jnp.sum(pair_gidx) * 1e-12)
@@ -229,9 +230,9 @@ def main():
 
     proj0 = jax.jit(lambda mns: project_gaussians(cam, mns, covs))(means)
     pair_tiles, pair_depths, pair_gidx = _build_pairs(
-        proj0.means2d, proj0.radii, proj0.depths, proj0.mask, (gy, gx),
-        render_kwargs["max_tiles_per_gaussian"], opacities=opas,
-        conics=proj0.conics,
+        proj0.mean_x, proj0.mean_y, proj0.radii, proj0.depths, proj0.mask,
+        (gy, gx), render_kwargs["max_tiles_per_gaussian"], opacities=opas,
+        con_a=proj0.con_a, con_b=proj0.con_b, con_c=proj0.con_c,
     )
     n_tiles = gy * gx
     tile_bits = max(int(n_tiles + 1).bit_length(), 1)
@@ -252,13 +253,16 @@ def main():
           f"max {int(counts0.max())}", flush=True)
 
     record("pack_attrs (gather)", (
-        lambda mns2d: pack_attrs(mns2d, proj0.conics, opas.astype(jnp.float32),
-                                 colors0, proj0.depths, sgidx).sum() * 1e-12,
-        (proj0.means2d,), perturb_means,
+        lambda mx: pack_attrs(mx, proj0.mean_y, proj0.con_a, proj0.con_b,
+                              proj0.con_c, opas.astype(jnp.float32),
+                              colors0, proj0.depths, sgidx).sum() * 1e-12,
+        (proj0.mean_x,), perturb_means,
     ))
 
-    attrs0 = jax.jit(pack_attrs)(proj0.means2d, proj0.conics,
-                                 opas.astype(jnp.float32), colors0, proj0.depths, sgidx)
+    attrs0 = jax.jit(pack_attrs)(proj0.mean_x, proj0.mean_y, proj0.con_a,
+                                 proj0.con_b, proj0.con_c,
+                                 opas.astype(jnp.float32), colors0,
+                                 proj0.depths, sgidx)
     bg0 = jnp.zeros((3,), jnp.float32)
 
     record("composite kernel only", (
@@ -332,7 +336,8 @@ def main():
                 lambda c, m, sc, ro: project_gaussians(c, m, scales=sc, rotations=ro)
             )(cams, mns, scl, rot)
             if stage == "project":
-                return proj.means2d, proj.conics, proj.depths, proj.radii
+                return (proj.mean_x, proj.mean_y, proj.con_a, proj.con_b,
+                        proj.con_c, proj.depths, proj.radii)
             gy2, gx2 = h // TILE, w // TILE
             n_tiles = gy2 * gx2
             pt, pd, pg = jax.vmap(
@@ -340,8 +345,9 @@ def main():
                     _build_pairs, grid=(gy2, gx2),
                     max_tiles_per_gaussian=render_kwargs["max_tiles_per_gaussian"],
                 )
-            )(proj.means2d, proj.radii, proj.depths, proj.mask,
-              opacities=opa, conics=proj.conics)
+            )(proj.mean_x, proj.mean_y, proj.radii, proj.depths, proj.mask,
+              opacities=opa, con_a=proj.con_a, con_b=proj.con_b,
+              con_c=proj.con_c)
             view_ids = jnp.arange(nviews, dtype=jnp.int32)[:, None]
             gg = mns.shape[1]
             pt = jnp.where(pt >= n_tiles, nviews * n_tiles, pt + view_ids * n_tiles).reshape(-1)
@@ -355,10 +361,11 @@ def main():
             from styl3r_tpu.ops.rasterizer.pallas_kernel import pack_attrs as pa
 
             dirs = mns - cams.cam_pos[:, None, :]
-            dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, -1, keepdims=True), 1e-8)
+            dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
             cols = eval_sh(shs, dirs)
             flatv = lambda x: x.reshape((nviews * gg,) + x.shape[2:])
-            attrs = pa(flatv(proj.means2d), flatv(proj.conics),
+            attrs = pa(flatv(proj.mean_x), flatv(proj.mean_y),
+                       flatv(proj.con_a), flatv(proj.con_b), flatv(proj.con_c),
                        flatv(opa).astype(jnp.float32), flatv(cols),
                        flatv(proj.depths), sgidx)
             if stage == "pack":

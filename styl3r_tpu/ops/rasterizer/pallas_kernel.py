@@ -45,11 +45,14 @@ A_MX, A_MY, A_CA, A_CB, A_CC, A_OP, A_R, A_G, A_B, A_D = range(10)
 
 
 def pack_attrs(
-    means2d: Array, conics: Array, opacities: Array, colors: Array, depths: Array,
-    sorted_gidx: Array,
+    mean_x: Array, mean_y: Array, con_a: Array, con_b: Array, con_c: Array,
+    opacities: Array, colors: Array, depths: Array, sorted_gidx: Array,
 ) -> Array:
     """Gather per-pair attributes in sorted order, attribute-major:
     (16, n_pairs padded to a multiple of 128).
+
+    Takes flat (g,) component vectors (the SoA ProjectedGaussians layout) so
+    no lane-padded (g, 2)/(g, 3) intermediates ever materialize upstream.
 
     Perf note: the gather runs row-major — (g, 16) table indexed by pair, so
     each gathered element is a contiguous 64-byte row (TPU gathers vectorize
@@ -58,8 +61,8 @@ def pack_attrs(
     ~10x slower (10 x n_pairs scalar-ish gathers)."""
     table = jnp.stack(
         [
-            means2d[:, 0], means2d[:, 1],
-            conics[:, 0], conics[:, 1], conics[:, 2],
+            mean_x, mean_y,
+            con_a, con_b, con_c,
             opacities,
             colors[:, 0], colors[:, 1], colors[:, 2],
             depths,

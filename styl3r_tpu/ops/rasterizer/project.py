@@ -23,11 +23,31 @@ from .camera import RasterCamera
 
 
 class ProjectedGaussians(NamedTuple):
-    means2d: Array  # (g, 2) pixel coordinates (x, y)
+    """Screen-space gaussians as a structure of (g,)-shaped component vectors.
+
+    Deliberately SoA: (g, 2)/(g, 3) arrays tile their minor dim onto the
+    128-lane axis on TPU (2 -> 128 / 3 -> 128 padding, 42-64x wasted bytes
+    whenever such an intermediate materializes between fusions — measured as
+    most of a ~13 ms in-situ overhead on the full forward). Flat (g,) vectors
+    pad nothing. Use the `means2d` / `conics` properties for AoS views in
+    tests/debug code only."""
+
+    mean_x: Array  # (g,) pixel x
+    mean_y: Array  # (g,) pixel y
     depths: Array  # (g,) camera-space z
-    conics: Array  # (g, 3) inverse 2D covariance (a, b, c) for axᵀ+2bxy+cyᵀ
+    con_a: Array  # (g,) inverse 2D covariance components (a, b, c)
+    con_b: Array  # (g,)   for the quadratic a x^2 + 2 b x y + c y^2
+    con_c: Array  # (g,)
     radii: Array  # (g,) 3-sigma screen radius in pixels (0 = culled)
     mask: Array  # (g,) bool, survives near-plane/deterministic culling
+
+    @property
+    def means2d(self) -> Array:  # (g, 2) AoS view (tests/debug)
+        return jnp.stack([self.mean_x, self.mean_y], axis=-1)
+
+    @property
+    def conics(self) -> Array:  # (g, 3) AoS view (tests/debug)
+        return jnp.stack([self.con_a, self.con_b, self.con_c], axis=-1)
 
 
 NEAR_CULL = 0.2  # matches the CUDA rasterizer's hardcoded near threshold
@@ -118,7 +138,6 @@ def project_gaussians(
 
     det = a * c - b * b
     det_safe = jnp.where(det <= 0, 1.0, det)
-    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
 
     # 3-sigma extent from the larger eigenvalue of cov2d.
     mid = 0.5 * (a + c)
@@ -129,14 +148,16 @@ def project_gaussians(
     # Screen-space center (pixel (i, j) has center (x=j, y=i), hence the -0.5).
     mean_x = fx * tx * inv_z + camera.principal[0] - 0.5
     mean_y = fy * ty * inv_z + camera.principal[1] - 0.5
-    means2d = jnp.stack([mean_x, mean_y], axis=-1)
 
     valid = (tz > NEAR_CULL) & (det > 0)
     radius = jnp.where(valid, radius, 0.0)
     return ProjectedGaussians(
-        means2d=means2d,
+        mean_x=mean_x,
+        mean_y=mean_y,
         depths=tz,
-        conics=conic,
+        con_a=c / det_safe,
+        con_b=-b / det_safe,
+        con_c=a / det_safe,
         radii=radius,
         mask=valid,
     )

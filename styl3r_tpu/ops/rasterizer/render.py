@@ -106,29 +106,37 @@ composite_pallas_diff.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
 
 
 def _build_pairs(
-    means2d: Array,
+    mean_x: Array,
+    mean_y: Array,
     radii: Array,
     depths: Array,
     mask: Array,
     grid: Tuple[int, int],
     max_tiles_per_gaussian: int,
     opacities: Array = None,
-    conics: Array = None,
+    con_a: Array = None,
+    con_b: Array = None,
+    con_c: Array = None,
 ) -> Tuple[Array, Array, Array]:
     """Emit (tile_id, depth, gaussian_idx) pairs for every tile each gaussian
     touches. Invalid slots get tile_id = n_tiles (sorts to the end).
 
-    With `conics`, pairs whose gaussian cannot reach alpha >= 1/255 anywhere
-    in the tile are culled exactly (the compositor would zero them anyway):
-    the minimum of the conic quadratic over the tile's pixel-center rectangle
-    has a closed form (0 inside; else the min over the 4 edges, each a clamped
-    1-D quadratic). This is the ellipse-tile intersection test the CUDA
-    rasterizer's 3-sigma getRect bbox only approximates."""
+    With conic components, pairs whose gaussian cannot reach alpha >= 1/255
+    anywhere in the tile are culled exactly (the compositor would zero them
+    anyway): the minimum of the conic quadratic over the tile's pixel-center
+    rectangle has a closed form (0 inside; else the min over the 4 edges, each
+    a clamped 1-D quadratic). This is the ellipse-tile intersection test the
+    CUDA rasterizer's 3-sigma getRect bbox only approximates.
+
+    All broadcasting is slot-major (m, g) — gaussians ride the 128-lane axis;
+    (g, m=8) orientation would pad 8 -> 128 lanes (16x) on every op in the
+    culling chain whenever an intermediate materializes."""
     gy, gx = grid
     n_tiles = gy * gx
-    g = means2d.shape[0]
+    g = mean_x.shape[0]
+    m = max_tiles_per_gaussian
 
-    x, y = means2d[:, 0], means2d[:, 1]
+    x, y = mean_x, mean_y
     r = radii
     tx0 = jnp.clip(jnp.floor((x - r) / TILE), 0, gx - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((x + r) / TILE), 0, gx - 1).astype(jnp.int32)
@@ -145,24 +153,24 @@ def _build_pairs(
         # gaussians are near-transparent.
         mask = mask & (opacities >= (1.0 / 255.0))
 
-    offs = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)  # (m,)
-    oy = offs[None, :] // rw[:, None]  # (g, m)
-    ox = offs[None, :] % rw[:, None]
-    tile_x = tx0[:, None] + ox
-    tile_y = ty0[:, None] + oy
+    offs = jnp.arange(m, dtype=jnp.int32)[:, None]  # (m, 1)
+    oy = offs // rw[None, :]  # (m, g)
+    ox = offs % rw[None, :]
+    tile_x = tx0[None, :] + ox
+    tile_y = ty0[None, :] + oy
     tile_id = tile_y * gx + tile_x
-    valid = (offs[None, :] < area[:, None]) & mask[:, None] & (radii[:, None] > 0)
+    valid = (offs < area[None, :]) & mask[None, :] & (r[None, :] > 0)
 
-    if conics is not None and opacities is not None:
+    if con_a is not None and opacities is not None:
         # Exact ellipse-tile test: min over the tile's pixel-center rect
         # [t*16, t*16+15]^2 of q(d) = 0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2
         # (power = -q in the compositor). Keep iff op*exp(-min q) >= 1/255.
-        ca = jnp.maximum(conics[:, 0, None], 1e-12)
-        cb = conics[:, 1, None]
-        cc = jnp.maximum(conics[:, 2, None], 1e-12)
-        dx0 = tile_x.astype(means2d.dtype) * TILE - x[:, None]
+        ca = jnp.maximum(con_a, 1e-12)[None, :]
+        cb = con_b[None, :]
+        cc = jnp.maximum(con_c, 1e-12)[None, :]
+        dx0 = tile_x.astype(x.dtype) * TILE - x[None, :]
         dx1 = dx0 + (TILE - 1)
-        dy0 = tile_y.astype(means2d.dtype) * TILE - y[:, None]
+        dy0 = tile_y.astype(y.dtype) * TILE - y[None, :]
         dy1 = dy0 + (TILE - 1)
 
         def q(dx, dy):
@@ -180,15 +188,15 @@ def _build_pairs(
         )
         inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
         min_q = jnp.where(inside, 0.0, min_q)
-        reachable = min_q <= jnp.log(255.0 * jnp.maximum(opacities[:, None], 1e-12))
+        reachable = min_q <= jnp.log(255.0 * jnp.maximum(opacities[None, :], 1e-12))
         valid = valid & reachable
 
     tile_id = jnp.where(valid, tile_id, n_tiles)
 
-    pair_tiles = tile_id.reshape(g * max_tiles_per_gaussian)
-    pair_depths = jnp.broadcast_to(depths[:, None], (g, max_tiles_per_gaussian)).reshape(-1)
+    pair_tiles = tile_id.reshape(m * g)
+    pair_depths = jnp.broadcast_to(depths[None, :], (m, g)).reshape(-1)
     pair_gidx = jnp.broadcast_to(
-        jnp.arange(g, dtype=jnp.int32)[:, None], (g, max_tiles_per_gaussian)
+        jnp.arange(g, dtype=jnp.int32)[None, :], (m, g)
     ).reshape(-1)
     return pair_tiles, pair_depths, pair_gidx
 
@@ -218,7 +226,8 @@ def _sort_pairs(pair_tiles: Array, pair_depths: Array, pair_gidx: Array, n_tiles
 
 
 def _composite_jnp_view(
-    sorted_gidx, starts, counts, means2d, conics, colors, opacities, depths,
+    sorted_gidx, starts, counts, mean_x, mean_y, con_a, con_b, con_c,
+    colors, opacities, depths,
     grid, background, max_per_tile, chunk, dtype,
 ):
     """Pure-XLA per-tile front-to-back compositing for ONE view. The attr
@@ -230,28 +239,34 @@ def _composite_jnp_view(
     tile_ids = jnp.arange(gy * gx, dtype=jnp.int32)
 
     py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
-    local_pix = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1).astype(dtype)
+    local_px = px.reshape(-1).astype(dtype)  # (p,)
+    local_py = py.reshape(-1).astype(dtype)
 
     def composite_tile(tile_idx: Array, start: Array, count: Array):
         ty = tile_idx // gx
         tx = tile_idx % gx
-        pix = local_pix + jnp.stack([tx * TILE, ty * TILE]).astype(dtype)  # (p, 2)
+        pix_x = local_px + (tx * TILE).astype(dtype)  # (p,)
+        pix_y = local_py + (ty * TILE).astype(dtype)
 
         def step(carry, k):
             rgb, dep, trans = carry
             offs = k * chunk + jnp.arange(chunk, dtype=jnp.int32)
             in_range = offs < count
             idx = sorted_gidx[jnp.clip(start + offs, 0, n_pairs - 1)]
-            mu = means2d[idx]  # (chunk, 2)
-            con = conics[idx]  # (chunk, 3)
+            mx = mean_x[idx]  # (chunk,)
+            my = mean_y[idx]
+            ca = con_a[idx]
+            cb = con_b[idx]
+            cc = con_c[idx]
             col = colors[idx]  # (chunk, 3)
             op = opacities[idx]  # (chunk,)
             dpt = depths[idx]  # (chunk,)
 
-            d = pix[None, :, :] - mu[:, None, :]  # (chunk, p, 2)
+            dx = pix_x[None, :] - mx[:, None]  # (chunk, p)
+            dy = pix_y[None, :] - my[:, None]
             power = (
-                -0.5 * (con[:, 0, None] * d[..., 0] ** 2 + con[:, 2, None] * d[..., 1] ** 2)
-                - con[:, 1, None] * d[..., 0] * d[..., 1]
+                -0.5 * (ca[:, None] * dx * dx + cc[:, None] * dy * dy)
+                - cb[:, None] * dx * dy
             )
             # Clamp before exp: positive powers are masked below, but exp of a
             # large positive value is inf and poisons gradients through the
@@ -344,8 +359,8 @@ def render_many(
             grid=(gy, gx),
             max_tiles_per_gaussian=max_tiles_per_gaussian,
         )
-    )(proj.means2d, proj.radii, proj.depths, proj.mask,
-      opacities=opacities, conics=proj.conics)
+    )(proj.mean_x, proj.mean_y, proj.radii, proj.depths, proj.mask,
+      opacities=opacities, con_a=proj.con_a, con_b=proj.con_b, con_c=proj.con_c)
     # Offset each view's tiles into the shared id space (invalid slots keep
     # the global sentinel n_total); gaussian indices go global the same way.
     view_ids = jnp.arange(n, dtype=jnp.int32)[:, None]
@@ -366,7 +381,8 @@ def render_many(
         from .pallas_kernel import pack_attrs
 
         attrs = pack_attrs(
-            flat(proj.means2d), flat(proj.conics),
+            flat(proj.mean_x), flat(proj.mean_y),
+            flat(proj.con_a), flat(proj.con_b), flat(proj.con_c),
             flat(opacities).astype(jnp.float32), flat(colors),
             flat(proj.depths), sorted_gidx,
         )
@@ -381,8 +397,9 @@ def render_many(
             per_view.append(
                 _composite_jnp_view(
                     sorted_gidx, starts[sl], counts[sl],
-                    flat(proj.means2d), flat(proj.conics), flat(colors),
-                    flat(opacities), flat(proj.depths),
+                    flat(proj.mean_x), flat(proj.mean_y),
+                    flat(proj.con_a), flat(proj.con_b), flat(proj.con_c),
+                    flat(colors), flat(opacities), flat(proj.depths),
                     (gy, gx), backgrounds[i], max_per_tile, chunk, dtype,
                 )
             )
