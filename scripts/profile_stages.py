@@ -317,7 +317,11 @@ def main():
     # --stages chain.
     t_views = batch.target_extrinsics.shape[1]
     nviews = b * t_views
-    vidx_t = jnp.arange(nviews) // t_views
+
+    def pview(x):  # (b, g, ...) -> (nviews, g, ...) repeat (mirrors decoder)
+        return jnp.broadcast_to(x[:, None], (b, t_views) + x.shape[1:]).reshape(
+            (nviews,) + x.shape[1:]
+        )
 
     def chain_to(stage):
         def fn(p, im, k, s):
@@ -327,11 +331,11 @@ def main():
             nr = batch.target_near.reshape(nviews)
             fr = batch.target_far.reshape(nviews)
             cams = make_raster_camera(ext, intr, nr, fr, (h, w))
-            mns = g.means[vidx_t]
-            scl = g.scales[vidx_t]
-            rot = g.rotations[vidx_t]
-            opa = g.opacities[vidx_t]
-            shs = g.harmonics[vidx_t]
+            mns = pview(g.means)
+            scl = pview(g.scales)
+            rot = pview(g.rotations)
+            opa = pview(g.opacities)
+            shs = pview(g.harmonics)
             proj = jax.vmap(
                 lambda c, m, sc, ro: project_gaussians(c, m, scales=sc, rotations=ro)
             )(cams, mns, scl, rot)

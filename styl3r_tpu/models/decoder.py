@@ -73,18 +73,26 @@ def render_gaussians(
     if cam_trans_delta is None:
         cam_trans_delta = jnp.zeros((b, v, 3), extrinsics.dtype)
 
-    # Fused multi-view path: gather each view's (scene-shared) gaussians,
-    # apply per-view scale-invariance, then ONE render_many call — a single
-    # global sort + kernel launch for all (b, v) views (a vmapped lax.sort
-    # costs more than the whole unbatched render on TPU).
-    vidx = jnp.arange(n) // v  # view -> batch index
+    # Fused multi-view path: repeat each scene's gaussians across its v
+    # target views, apply per-view scale-invariance, then ONE render_many
+    # call — a single global sort + kernel launch for all (b, v) views (a
+    # vmapped lax.sort costs more than the whole unbatched render on TPU).
+    # The repeat is an explicit broadcast_to (view until consumed), NOT a
+    # gather by arange(n)//v: a general gather materializes lane-padded
+    # (n, g, 3)/(n, g, 3, d_sh) copies (minor dims 3/1 pad to 128 lanes,
+    # ~42-128x wasted HBM traffic); the broadcast fuses into the projection.
+    def per_view(x):  # (b, g, ...) -> (n, g, ...) repeat, no copy
+        return jnp.broadcast_to(x[:, None], (b, v) + x.shape[1:]).reshape(
+            (n,) + x.shape[1:]
+        )
+
     ext = extrinsics.reshape(n, 4, 4)
     intr = intrinsics.reshape(n, 3, 3)
     nr = near.reshape(n).astype(jnp.float32)
     fr = far.reshape(n).astype(jnp.float32)
-    mns = gaussians.means[vidx]  # (n, g, 3)
-    shs = gaussians.harmonics[vidx]
-    opas = gaussians.opacities[vidx]
+    mns = per_view(gaussians.means)  # (n, g, 3)
+    shs = per_view(gaussians.harmonics)
+    opas = per_view(gaussians.opacities)
     # Prefer the covariance factors over the assembled (g, 3, 3) tensor: the
     # Σ components then fuse into the projection and the padded 3x3 tensor is
     # never materialized (and is DCE'd upstream when nothing else reads it).
@@ -92,11 +100,11 @@ def render_gaussians(
     # the posed adapter's world rotation (composed into the quaternion).
     use_factors = gaussians.scales is not None and gaussians.rotations is not None
     if use_factors:
-        scl = gaussians.scales[vidx]
-        rot = gaussians.rotations[vidx]
+        scl = per_view(gaussians.scales)
+        rot = per_view(gaussians.rotations)
         cvs = None
     else:
-        cvs = gaussians.covariances[vidx]
+        cvs = per_view(gaussians.covariances)
 
     if scale_invariant:
         scale = (1.0 / nr)[:, None]
