@@ -77,6 +77,8 @@ def main():
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--impl", default="auto")
+    parser.add_argument("--pair-cap", type=int, default=0,
+                        help="pair_cap render kwarg (0 = None/exact)")
     parser.add_argument("--output", default="")
     parser.add_argument("--stages", default="",
                         help="comma-separated stage names to run (default all); "
@@ -113,6 +115,8 @@ def main():
     render_kwargs = dict(
         max_per_tile=512 if args.tiny else 2048, max_tiles_per_gaussian=8, impl=impl
     )
+    if args.pair_cap:
+        render_kwargs["pair_cap"] = args.pair_cap
     n = args.iters
     enc = model.encoder
     imgs = normalize_images(batch.context_images)
@@ -374,11 +378,21 @@ def main():
                        flatv(proj.depths), sgidx)
             if stage == "pack":
                 return attrs, starts, ends
+            from styl3r_tpu.ops.rasterizer.render import composite_pallas_diff
+
+            counts = jnp.minimum(ends - starts, render_kwargs["max_per_tile"])
+            bgs = jnp.zeros((nviews, 3), jnp.float32)
+            rgb, dep, alp = composite_pallas_diff(
+                attrs, starts, counts, bgs, gy2, gx2,
+                render_kwargs["max_per_tile"], False, nviews,
+            )
+            if stage == "composite":
+                return rgb, dep, alp
             raise ValueError(stage)
 
         return fn
 
-    for st in ("project", "binsort", "pack"):
+    for st in ("project", "binsort", "pack", "composite"):
         record(f"chain:{st}", (
             chain_to(st),
             (params, imgs, batch.context_intrinsics, style), perturb_img,

@@ -42,6 +42,7 @@ def render_gaussians(
     max_per_tile: int = 4096,
     chunk: int = 64,
     impl: str = "jnp",
+    pair_cap: Optional[int] = None,
     shard_data=None,
 ) -> DecoderOutput:
     """Render each scene's Gaussians into its (b, v) target cameras.
@@ -144,6 +145,7 @@ def render_gaussians(
             max_per_tile=max_per_tile,
             chunk=chunk,
             impl=impl,
+            pair_cap=pair_cap,
         )
 
     bgs = background_color.reshape(n, 3)

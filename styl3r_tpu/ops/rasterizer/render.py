@@ -316,6 +316,7 @@ def render_many(
     max_per_tile: int = 4096,
     chunk: int = 64,
     impl: str = "jnp",
+    pair_cap: Optional[int] = None,
 ) -> RenderOutput:
     """Render n views in one fused pipeline (one sort, one kernel launch).
 
@@ -329,6 +330,16 @@ def render_many(
       backgrounds: per-view (n, 3), defaults to black.
       impl: 'jnp' (pure XLA, autodiff-native) | 'pallas' (TPU kernels via
         custom_vjp) | 'pallas_interpret' (kernel in interpreter mode, CPU).
+      pair_cap: optional static cap on TOTAL sorted pair slots kept for the
+        attribute gather + compositing. The sort emits n*g*max_tiles_per_
+        gaussian slots but (with the exact ellipse-tile culling) typically
+        <10% are live, and the post-sort attribute gather's HBM cost scales
+        with SLOTS, not live pairs (each gathered 64B row pads to a 512B lane
+        tile). Invalid pairs sort to the end, so truncating at pair_cap is
+        LOSSLESS while live pairs <= pair_cap; on overflow the highest tile
+        ids (bottom image rows) lose pairs first — size generously (the
+        default None keeps every slot, the CUDA reference's exact-allocation
+        semantics).
     Returns RenderOutput with (n, h, w, ...) leaves.
     """
     h, w = image_shape
@@ -373,6 +384,11 @@ def render_many(
     _, sorted_gidx, starts, ends = _sort_pairs(
         pair_tiles, pair_depths, pair_gidx, n_total
     )
+    if pair_cap is not None and pair_cap < sorted_gidx.shape[0]:
+        cap = max((pair_cap // 128) * 128, 128)  # kernel DMA windows are 128-wide
+        sorted_gidx = sorted_gidx[:cap]
+        starts = jnp.minimum(starts, cap)
+        ends = jnp.minimum(ends, cap)
     counts = jnp.minimum(ends - starts, max_per_tile)
 
     flat = lambda x: x.reshape((n * g,) + x.shape[2:])
@@ -437,6 +453,7 @@ def render(
     max_per_tile: int = 4096,
     chunk: int = 64,
     impl: str = "jnp",
+    pair_cap: Optional[int] = None,
 ) -> RenderOutput:
     """Render one view of one scene (the n=1 case of render_many).
 
@@ -459,7 +476,7 @@ def render(
         scales=None if scales is None else scales[None],
         rotations=None if rotations is None else rotations[None],
         max_tiles_per_gaussian=max_tiles_per_gaussian,
-        max_per_tile=max_per_tile, chunk=chunk, impl=impl,
+        max_per_tile=max_per_tile, chunk=chunk, impl=impl, pair_cap=pair_cap,
     )
     return RenderOutput(
         color=out.color[0], depth=out.depth[0], alpha=out.alpha[0]

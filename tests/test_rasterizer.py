@@ -461,3 +461,34 @@ def test_decoder_uses_factors_when_present():
             np.asarray(a.color), np.asarray(c.color), atol=1e-5,
             err_msg=f"scale_invariant={si}",
         )
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas_interpret"])
+def test_render_pair_cap_lossless_with_headroom(impl):
+    """pair_cap truncates the sorted pair list AFTER invalid slots were sorted
+    to the end, so any cap >= the live pair count must be bit-identical to the
+    uncapped render; an overflowing cap must still be finite (it degrades by
+    dropping the highest tile ids first)."""
+    rng = np.random.default_rng(13)
+    g = 200
+    means = jnp.asarray(
+        np.stack(
+            [rng.uniform(-1, 1, g), rng.uniform(-1, 1, g), rng.uniform(2, 5, g)], -1
+        ),
+        jnp.float32,
+    )
+    scales = jnp.asarray(rng.uniform(0.02, 0.2, (g, 3)), jnp.float32)
+    quats = rng.normal(size=(g, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    shs = jnp.asarray(rng.uniform(-0.5, 0.5, (g, 3, 1)), jnp.float32)
+    opas = jnp.asarray(rng.uniform(0.3, 0.9, g), jnp.float32)
+    cam = default_camera()
+    kw = dict(max_per_tile=256, max_tiles_per_gaussian=8, impl=impl,
+              scales=scales, rotations=jnp.asarray(quats))
+
+    base = render(cam, means, None, shs, opas, (H, W), **kw)
+    capped = render(cam, means, None, shs, opas, (H, W), pair_cap=g * 8, **kw)
+    np.testing.assert_array_equal(np.asarray(base.color), np.asarray(capped.color))
+
+    tiny = render(cam, means, None, shs, opas, (H, W), pair_cap=128, **kw)
+    assert bool(jnp.isfinite(tiny.color).all())
