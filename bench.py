@@ -97,6 +97,13 @@ def main():
         params = make_params(batch)
         render_kwargs = dict(impl=impl, max_tiles_per_gaussian=8)
         render_kwargs["max_per_tile"] = max_per_tile
+        # Post-sort pair cap at 4 tile-slots per gaussian average (half the
+        # 8-slot bin bound): lossless while live pairs fit (live pairs are
+        # <10% of slots with the exact ellipse culling) and removes half the
+        # lane-padded attribute-gather HBM traffic.
+        n_render_views = batch_size  # t=1 target view per scene
+        g_per_scene = args.views * h * w
+        render_kwargs["pair_cap"] = 4 * n_render_views * g_per_scene
 
         @jax.jit
         def predict_and_render_n(params, batch):

@@ -79,6 +79,8 @@ def main():
     parser.add_argument("--impl", default="auto")
     parser.add_argument("--pair-cap", type=int, default=0,
                         help="pair_cap render kwarg (0 = None/exact)")
+    parser.add_argument("--max-per-tile", type=int, default=0,
+                        help="override max_per_tile render kwarg")
     parser.add_argument("--output", default="")
     parser.add_argument("--stages", default="",
                         help="comma-separated stage names to run (default all); "
@@ -117,6 +119,8 @@ def main():
     )
     if args.pair_cap:
         render_kwargs["pair_cap"] = args.pair_cap
+    if args.max_per_tile:
+        render_kwargs["max_per_tile"] = args.max_per_tile
     n = args.iters
     enc = model.encoder
     imgs = normalize_images(batch.context_images)
