@@ -473,6 +473,12 @@ class Trainer:
             background_color=jnp.asarray(cfg.model.decoder.background_color, jnp.float32),
             impl=impl,
         )
+        if cfg.model.decoder.pair_cap_per_gaussian:
+            b0, v0 = first.context_images.shape[:2]
+            t0 = first.target_extrinsics.shape[1]
+            self._render_kwargs["pair_cap"] = (
+                cfg.model.decoder.pair_cap_per_gaussian * b0 * t0 * v0 * h * w
+            )
         repl = replicated_sharding(self.mesh)
         bshard = batch_sharding(self.mesh)
         teacher_params = None

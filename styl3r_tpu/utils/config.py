@@ -41,6 +41,10 @@ class ModelDecoderCfg:
     max_tiles_per_gaussian: int = 32
     max_per_tile: int = 4096
     impl: str = "auto"  # auto | jnp | pallas
+    # Post-sort cap on total pair slots per render, as a multiple of the
+    # gaussian count (0 = exact/no cap). Lossless while live pairs fit; the
+    # attribute-gather HBM cost scales with slots (see render_many docstring).
+    pair_cap_per_gaussian: int = 0
 
 
 @dataclass
