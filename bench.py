@@ -101,9 +101,7 @@ def main():
         # 8-slot bin bound): lossless while live pairs fit (live pairs are
         # <10% of slots with the exact ellipse culling) and removes half the
         # lane-padded attribute-gather HBM traffic.
-        n_render_views = batch_size  # t=1 target view per scene
-        g_per_scene = args.views * h * w
-        render_kwargs["pair_cap"] = 4 * n_render_views * g_per_scene
+        render_kwargs["pair_cap_per_gaussian"] = 4
 
         @jax.jit
         def predict_and_render_n(params, batch):

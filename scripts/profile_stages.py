@@ -78,7 +78,7 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--impl", default="auto")
     parser.add_argument("--pair-cap", type=int, default=0,
-                        help="pair_cap render kwarg (0 = None/exact)")
+                        help="pair_cap_per_gaussian render kwarg (0 = exact)")
     parser.add_argument("--max-per-tile", type=int, default=0,
                         help="override max_per_tile render kwarg")
     parser.add_argument("--output", default="")
@@ -118,7 +118,7 @@ def main():
         max_per_tile=512 if args.tiny else 2048, max_tiles_per_gaussian=8, impl=impl
     )
     if args.pair_cap:
-        render_kwargs["pair_cap"] = args.pair_cap
+        render_kwargs["pair_cap_per_gaussian"] = args.pair_cap
     if args.max_per_tile:
         render_kwargs["max_per_tile"] = args.max_per_tile
     n = args.iters
@@ -277,6 +277,7 @@ def main():
         lambda a: composite_tiles_pallas(
             a, starts0, counts0, bg0, (gy, gx),
             max_per_tile=render_kwargs["max_per_tile"],
+            interpret=jax.default_backend() == "cpu",
         )[0].sum() * 1e-12,
         (attrs0,), lambda args, c: (args[0] + c,),
     ))
@@ -388,7 +389,9 @@ def main():
             bgs = jnp.zeros((nviews, 3), jnp.float32)
             rgb, dep, alp = composite_pallas_diff(
                 attrs, starts, counts, bgs, gy2, gx2,
-                render_kwargs["max_per_tile"], False, nviews,
+                render_kwargs["max_per_tile"],
+                jax.default_backend() == "cpu",  # interpret off-TPU
+                nviews,
             )
             if stage == "composite":
                 return rgb, dep, alp

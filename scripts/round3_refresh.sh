@@ -11,19 +11,19 @@ python bench.py --batch 4 --extra BENCH_EXTRA_b4.json || exit 1
 
 # 2. 2-view per-stage profile refresh (per-process stages to bound HBM).
 python scripts/profile_stages.py --stages "full forward" --iters 30 \
-    --pair-cap 524288 --output /tmp/p2_full.json
+    --pair-cap 4 --output /tmp/p2_full.json
 python scripts/profile_stages.py --stages "predict (enc+sty+heads+adapter)" \
     --iters 30 --output /tmp/p2_predict.json
 python scripts/profile_stages.py --stages "backbone" --iters 30 \
     --output /tmp/p2_backbone.json
 python scripts/profile_stages.py --stages "render (proj+sort+composite)" \
-    --iters 30 --pair-cap 524288 --output /tmp/p2_render.json
+    --iters 30 --pair-cap 4 --output /tmp/p2_render.json
 
 # 3. 4-view profile refresh.
 python scripts/profile_stages.py --views 4 --stages "full forward" \
-    --iters 20 --pair-cap 1048576 --output /tmp/p4_full.json
+    --iters 20 --pair-cap 4 --output /tmp/p4_full.json
 python scripts/profile_stages.py --views 4 \
-    --stages "render (proj+sort+composite)" --iters 20 --pair-cap 1048576 \
+    --stages "render (proj+sort+composite)" --iters 20 --pair-cap 4 \
     --output /tmp/p4_render.json
 
 echo REFRESH-DONE

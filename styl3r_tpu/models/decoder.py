@@ -42,7 +42,7 @@ def render_gaussians(
     max_per_tile: int = 4096,
     chunk: int = 64,
     impl: str = "jnp",
-    pair_cap: Optional[int] = None,
+    pair_cap_per_gaussian: int = 0,
     shard_data=None,
 ) -> DecoderOutput:
     """Render each scene's Gaussians into its (b, v) target cameras.
@@ -53,6 +53,9 @@ def render_gaussians(
       near/far: (b, v).
       scale_invariant: rescale the scene by 1/near per view before rendering
         (cuda_splatting.py:64-72) to avoid numerical issues with tiny nears.
+      pair_cap_per_gaussian: if > 0, cap total sorted pair slots at this many
+        per gaussian (computed from the shard-local view/gaussian counts —
+        see render_many's pair_cap). 0 keeps every slot (exact).
       shard_data: optional (Mesh, axis_name). The fused renderer's single
         global sort must NOT cross the data-parallel boundary (XLA would
         all-gather all shards' pairs and sort them redundantly on every
@@ -131,6 +134,11 @@ def render_gaussians(
         fields = dict(means=mns, covariances=cvs, harmonics=shs, opacities=opas)
 
     def run(cams_, fields_, bg_):
+        # Derive the absolute cap from the SHARD-LOCAL view/gaussian counts
+        # (under shard_map the global batch shape would overstate the local
+        # slot count by n_devices and make the cap a silent no-op).
+        n_loc, g_loc = fields_["means"].shape[:2]
+        cap = pair_cap_per_gaussian * n_loc * g_loc if pair_cap_per_gaussian else None
         return render_many(
             cams_,
             fields_["means"],
@@ -145,7 +153,7 @@ def render_gaussians(
             max_per_tile=max_per_tile,
             chunk=chunk,
             impl=impl,
-            pair_cap=pair_cap,
+            pair_cap=cap,
         )
 
     bgs = background_color.reshape(n, 3)

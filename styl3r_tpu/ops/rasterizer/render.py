@@ -336,10 +336,11 @@ def render_many(
         <10% are live, and the post-sort attribute gather's HBM cost scales
         with SLOTS, not live pairs (each gathered 64B row pads to a 512B lane
         tile). Invalid pairs sort to the end, so truncating at pair_cap is
-        LOSSLESS while live pairs <= pair_cap; on overflow the highest tile
-        ids (bottom image rows) lose pairs first — size generously (the
-        default None keeps every slot, the CUDA reference's exact-allocation
-        semantics).
+        LOSSLESS while live pairs <= pair_cap; on overflow the highest GLOBAL
+        tile ids lose pairs first — in this fused multi-view sort that means
+        the LAST view's tiles blank before earlier views' bottom rows, so
+        size generously (the default None keeps every slot, the CUDA
+        reference's exact-allocation semantics).
     Returns RenderOutput with (n, h, w, ...) leaves.
     """
     h, w = image_shape
@@ -385,7 +386,9 @@ def render_many(
         pair_tiles, pair_depths, pair_gidx, n_total
     )
     if pair_cap is not None and pair_cap < sorted_gidx.shape[0]:
-        cap = max((pair_cap // 128) * 128, 128)  # kernel DMA windows are 128-wide
+        # Round UP to the kernel's 128-wide DMA window so a cap sized to the
+        # live pair count never drops live pairs (the lossless contract).
+        cap = -(-pair_cap // 128) * 128
         sorted_gidx = sorted_gidx[:cap]
         starts = jnp.minimum(starts, cap)
         ends = jnp.minimum(ends, cap)

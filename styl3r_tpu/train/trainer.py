@@ -474,10 +474,9 @@ class Trainer:
             impl=impl,
         )
         if cfg.model.decoder.pair_cap_per_gaussian:
-            b0, v0 = first.context_images.shape[:2]
-            t0 = first.target_extrinsics.shape[1]
-            self._render_kwargs["pair_cap"] = (
-                cfg.model.decoder.pair_cap_per_gaussian * b0 * t0 * v0 * h * w
+            # Absolute cap is derived per shard inside render_gaussians.
+            self._render_kwargs["pair_cap_per_gaussian"] = (
+                cfg.model.decoder.pair_cap_per_gaussian
             )
         repl = replicated_sharding(self.mesh)
         bshard = batch_sharding(self.mesh)

@@ -486,8 +486,26 @@ def test_render_pair_cap_lossless_with_headroom(impl):
     kw = dict(max_per_tile=256, max_tiles_per_gaussian=8, impl=impl,
               scales=scales, rotations=jnp.asarray(quats))
 
+    # A cap that genuinely TRIGGERS the truncation branch (cap < total slots)
+    # while provably above the live-pair count, so the result must be
+    # bit-identical to the exact render.
+    from styl3r_tpu.ops.rasterizer.project import project_gaussians
+    from styl3r_tpu.ops.rasterizer.render import TILE, _build_pairs
+
+    proj = project_gaussians(cam, means, scales=scales,
+                             rotations=jnp.asarray(quats))
+    pt, _, _ = _build_pairs(
+        proj.mean_x, proj.mean_y, proj.radii, proj.depths, proj.mask,
+        (H // TILE, W // TILE), 8, opacities=opas,
+        con_a=proj.con_a, con_b=proj.con_b, con_c=proj.con_c,
+    )
+    live = int((pt < (H // TILE) * (W // TILE)).sum())
+    total_slots = g * 8
+    cap = live + 130  # not a multiple of 128: exercises the round-UP path
+    assert live < cap < total_slots, (live, cap, total_slots)
+
     base = render(cam, means, None, shs, opas, (H, W), **kw)
-    capped = render(cam, means, None, shs, opas, (H, W), pair_cap=g * 8, **kw)
+    capped = render(cam, means, None, shs, opas, (H, W), pair_cap=cap, **kw)
     np.testing.assert_array_equal(np.asarray(base.color), np.asarray(capped.color))
 
     tiny = render(cam, means, None, shs, opas, (H, W), pair_cap=128, **kw)
