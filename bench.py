@@ -47,10 +47,28 @@ def main():
     )
     args = parser.parse_args()
 
+    import signal
+
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # The axon tunnel can go UNAVAILABLE in a way that makes device
+        # enumeration hang forever (observed round 3: multi-hour outage).
+        # Fail fast with a clear record instead of stalling the driver.
+        def _init_timeout(signum, frame):
+            print(json.dumps({
+                "metric": "scenes/sec/chip (TPU backend unreachable)",
+                "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
+                "error": "TPU device enumeration timed out after 300 s",
+            }))
+            sys.exit(1)
+
+        signal.signal(signal.SIGALRM, _init_timeout)
+        signal.alarm(300)
+        jax.devices()
+        signal.alarm(0)
     import jax.numpy as jnp
 
     from styl3r_tpu.models.styl3r import Styl3rModel
