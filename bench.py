@@ -47,7 +47,8 @@ def main():
     )
     args = parser.parse_args()
 
-    import signal
+    import os
+    import threading
 
     import jax
 
@@ -55,20 +56,24 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     else:
         # The axon tunnel can go UNAVAILABLE in a way that makes device
-        # enumeration hang forever (observed round 3: multi-hour outage).
-        # Fail fast with a clear record instead of stalling the driver.
-        def _init_timeout(signum, frame):
-            print(json.dumps({
-                "metric": "scenes/sec/chip (TPU backend unreachable)",
-                "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
-                "error": "TPU device enumeration timed out after 300 s",
-            }))
-            sys.exit(1)
+        # enumeration hang forever inside a C call (observed round 3:
+        # multi-hour outage; SIGALRM cannot interrupt it). A watchdog THREAD
+        # prints a structured failure record and hard-exits so the driver
+        # sees a fast rc=1 instead of a stall.
+        done = threading.Event()
 
-        signal.signal(signal.SIGALRM, _init_timeout)
-        signal.alarm(300)
+        def _watchdog():
+            if not done.wait(300):
+                print(json.dumps({
+                    "metric": "scenes/sec/chip (TPU backend unreachable)",
+                    "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
+                    "error": "TPU device enumeration timed out after 300 s",
+                }), flush=True)
+                os._exit(1)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
         jax.devices()
-        signal.alarm(0)
+        done.set()
     import jax.numpy as jnp
 
     from styl3r_tpu.models.styl3r import Styl3rModel
