@@ -141,7 +141,10 @@ class EvalHarness:
                     )
                 )
 
-        with self.benchmarker.time("decoder", num_calls=t):
+        # num_calls = the BUCKETED target count actually rendered (>= t):
+        # dividing by the true t would overstate ms/frame for scenes whose
+        # target count is not an exact bucket (padding views are real work).
+        with self.benchmarker.time("decoder", num_calls=self._bucket_t(t)):
             output = self.benchmarker.sync(
                 self._render_bucketed(
                     gaussians, extrinsics, batch.target_intrinsics,

@@ -201,24 +201,40 @@ def _build_pairs(
     return pair_tiles, pair_depths, pair_gidx
 
 
+MIN_DEPTH_KEY_BITS = 14  # >= 6 exponent-range + 8 mantissa bits of depth
+
+
 def _sort_pairs(pair_tiles: Array, pair_depths: Array, pair_gidx: Array, n_tiles: int):
     """One global sort by a single packed (tile, depth) u32 key: tile id in
     the high bits, the top bits of the positive-f32 depth (monotone as
     unsigned) below. A 1-key u32 sort is ~2x cheaper than the 2-key
     lexicographic comparator on TPU; the only approximation is depth ties
-    below 2^-(mantissa kept) relative — pairs that are visually order-free.
+    below the kept-bits quantum — pairs that are visually order-free.
     (CUDA reference packs {tile, depth} into one 64-bit radix key the same
-    way.) Returns (sorted_tiles, sorted_gidx, starts, ends)."""
+    way.)
+
+    The depth budget shrinks as tile bits grow with fused views/scenes
+    (n_tiles here is the GLOBAL fused count). When fewer than
+    MIN_DEPTH_KEY_BITS would remain (huge fused renders), fall back to a
+    2-key (tile, full f32 depth) sort — exact ordering at ~2x sort cost —
+    instead of silently composing in quantized-depth order.
+    Returns (sorted_tiles, sorted_gidx, starts, ends)."""
     tile_bits = max(int(n_tiles + 1).bit_length(), 1)
-    depth_shift = jnp.uint32(32 - tile_bits)
     depth_bits = jax.lax.bitcast_convert_type(
         pair_depths.astype(jnp.float32), jnp.uint32
     )
-    key = (pair_tiles.astype(jnp.uint32) << depth_shift) | (
-        depth_bits >> jnp.uint32(tile_bits)
-    )
-    sorted_key, sorted_gidx = jax.lax.sort((key, pair_gidx), num_keys=1)
-    sorted_tiles = (sorted_key >> depth_shift).astype(jnp.int32)
+    if 32 - tile_bits >= MIN_DEPTH_KEY_BITS:
+        depth_shift = jnp.uint32(32 - tile_bits)
+        key = (pair_tiles.astype(jnp.uint32) << depth_shift) | (
+            depth_bits >> jnp.uint32(tile_bits)
+        )
+        sorted_key, sorted_gidx = jax.lax.sort((key, pair_gidx), num_keys=1)
+        sorted_tiles = (sorted_key >> depth_shift).astype(jnp.int32)
+    else:
+        sorted_t, _, sorted_gidx = jax.lax.sort(
+            (pair_tiles.astype(jnp.uint32), depth_bits, pair_gidx), num_keys=2
+        )
+        sorted_tiles = sorted_t.astype(jnp.int32)
     tile_ids = jnp.arange(n_tiles, dtype=sorted_tiles.dtype)
     starts = jnp.searchsorted(sorted_tiles, tile_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tiles, tile_ids, side="right").astype(jnp.int32)

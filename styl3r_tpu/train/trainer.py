@@ -409,7 +409,13 @@ class Trainer:
                 cfg, "train", cfg.train.seed, lambda: self._global_step
             )
             batches = endless_batches(
-                lambda i: batch_iterator(datasets[i], cfg.train.batch_size),
+                # aspect_buckets groups examples by image shape before
+                # collation, so a mixed landscape/portrait stream yields
+                # shape-homogeneous batches (fit() keeps one jitted step per
+                # shape; homogeneous streams see a single always-hit bucket).
+                lambda i: batch_iterator(
+                    datasets[i], cfg.train.batch_size, aspect_buckets=True
+                ),
                 len(datasets),
             )
 

@@ -510,3 +510,30 @@ def test_render_pair_cap_lossless_with_headroom(impl):
 
     tiny = render(cam, means, None, shs, opas, (H, W), pair_cap=128, **kw)
     assert bool(jnp.isfinite(tiny.color).all())
+
+
+def test_sort_pairs_two_key_fallback_matches_packed():
+    """With a huge fused tile space (tile bits leave < MIN_DEPTH_KEY_BITS of
+    depth), _sort_pairs switches to the exact 2-key sort; both paths must
+    yield identical per-tile front-to-back gaussian order on data whose
+    depth gaps are far above the packed-key quantum."""
+    from styl3r_tpu.ops.rasterizer.render import MIN_DEPTH_KEY_BITS, _sort_pairs
+
+    rng = np.random.default_rng(21)
+    n = 4096
+    small_tiles = jnp.asarray(rng.integers(0, 50, n), jnp.int32)
+    # Well-separated depths (relative gaps >> the packed key's 2^-18 depth
+    # quantum at 64 tiles) so the two paths cannot differ by legitimate
+    # packed-key ties.
+    depths = jnp.asarray(rng.permutation(np.linspace(1.0, 100.0, n)), jnp.float32)
+    gidx = jnp.arange(n, dtype=jnp.int32)
+
+    _, g_packed, s1, e1 = _sort_pairs(small_tiles, depths, gidx, 64)
+    # Same pair data, but declared tile space so large the packed key would
+    # keep < MIN_DEPTH_KEY_BITS depth bits -> exact 2-key path.
+    huge = 1 << (33 - MIN_DEPTH_KEY_BITS)
+    _, g_exact, s2, e2 = _sort_pairs(small_tiles, depths, gidx, huge)
+
+    np.testing.assert_array_equal(np.asarray(g_packed), np.asarray(g_exact))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2[:64]))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2[:64]))
