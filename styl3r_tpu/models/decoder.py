@@ -158,12 +158,11 @@ def render_gaussians(
 
     bgs = background_color.reshape(n, 3)
     if shard_data is not None:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         mesh, axis = shard_data
         spec = P(axis)
-        run = shard_map(
+        run = jax.shard_map(
             run,
             mesh=mesh,
             in_specs=(
@@ -172,7 +171,7 @@ def render_gaussians(
                 spec,
             ),
             out_specs=spec,
-            check_rep=False,
+            check_vma=False,
         )
     out = run(cams, fields, bgs)
     return DecoderOutput(
