@@ -132,14 +132,33 @@ def main():
                 # Perturb the input so XLA cannot CSE the iterations away.
                 b2 = batch._replace(context_images=batch.context_images + carry)
                 _, output = model.forward(params, b2, (h, w), **render_kwargs)
-                return output.color.mean() * 1e-12, output.color[0, 0, 0, 0, 0]
+                probe = (
+                    output.color[0, 0, 0, 0, 0],
+                    output.live_pairs.max(),
+                    output.pair_slots.min(),
+                )
+                return output.color.mean() * 1e-12, probe
             carry, outs = jax.lax.scan(body, jnp.float32(0), None, length=iters)
             return carry, outs
 
         # Timing note (axon remote backend): block_until_ready does not wait,
         # so force host fetches and subtract the dispatch roundtrip.
         out = predict_and_render_n(params, batch)
-        assert bool(jnp.isfinite(np.asarray(out[1])).all()), "non-finite render"
+        assert bool(jnp.isfinite(np.asarray(out[1][0])).all()), "non-finite render"
+        # pair_cap lossless contract: the truncation silently blanks the last
+        # view's tiles once live pairs exceed the kept slots — detect it at
+        # runtime instead of trusting the static cap (ADVICE r3 / VERDICT #7).
+        live = int(np.asarray(out[1][1]).max())
+        slots = int(np.asarray(out[1][2]).min())
+        pair_note = {"live_pairs_max": live, "pair_slots": slots}
+        if live > slots:
+            print(
+                f"WARNING: pair_cap OVERFLOW — live pairs {live} > kept slots "
+                f"{slots}; the measured render drops content. Raise "
+                f"pair_cap_per_gaussian.",
+                file=sys.stderr,
+            )
+            pair_note["pair_cap_overflow"] = True
 
         null = jax.jit(lambda x: x + 1.0)
         float(null(jnp.float32(0)))
@@ -150,7 +169,7 @@ def main():
         t0 = time.perf_counter()
         float(predict_and_render_n(params, batch)[0])
         per_step = max(time.perf_counter() - t0 - roundtrip, 1e-9) / iters
-        return batch_size / per_step
+        return batch_size / per_step, pair_note
 
     def is_oom(exc) -> bool:
         return "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc)
@@ -176,9 +195,10 @@ def main():
 
     scenes_per_sec = None
     used = None
+    pair_note = {}
     for i, cfg in enumerate(configs):
         try:
-            scenes_per_sec = attempt(**cfg)
+            scenes_per_sec, pair_note = attempt(**cfg)
             used = cfg
             break
         except Exception as exc:  # noqa: BLE001 — degrade on OOM, re-raise others
@@ -199,6 +219,7 @@ def main():
         "value": round(scenes_per_sec, 4),
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_sec / 1.0, 4),
+        **pair_note,
     }
     if args.extra:
         with open(args.extra, "w") as f:

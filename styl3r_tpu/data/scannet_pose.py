@@ -36,9 +36,16 @@ def center_principal_point(
     pad_top = max(0, -shift_y)
     src_left = max(0, shift_x)
     src_top = max(0, shift_y)
+    # The reference also crops the source at w+shift_x / h+shift_y: when the
+    # principal point lies right of / below the image center it zeroes out the
+    # far band rather than keeping it (dataset_scannet_pose.py:168-174).
+    src_right = min(w, w + shift_x)
+    src_bottom = min(h, h + shift_y)
     out[
-        :, pad_top : pad_top + (h - src_top), pad_left : pad_left + (w - src_left)
-    ] = images[:, src_top:h, src_left:w]
+        :,
+        pad_top : pad_top + (src_bottom - src_top),
+        pad_left : pad_left + (src_right - src_left),
+    ] = images[:, src_top:src_bottom, src_left:src_right]
     return out, new_w // 2, new_h // 2
 
 

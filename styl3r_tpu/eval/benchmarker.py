@@ -72,9 +72,16 @@ class Benchmarker:
             elapsed = time.perf_counter() - start
             if subtract_roundtrip and self._roundtrip is not None:
                 elapsed = max(elapsed - self._roundtrip, 0.0)
-            for _ in range(num_calls):
-                self.execution_times[tag].append(elapsed / num_calls)
-            self._group_sizes[tag].append(num_calls)
+            self.last_elapsed = elapsed
+            self.record(tag, elapsed, num_calls)
+
+    def record(self, tag: str, elapsed: float, num_calls: int = 1) -> None:
+        """Append a pre-measured block under `tag`, split over `num_calls`.
+        Lets one timed block feed several per-frame divisors (e.g. decoder
+        vs decoder_unpadded in the eval harness)."""
+        for _ in range(num_calls):
+            self.execution_times[tag].append(elapsed / num_calls)
+        self._group_sizes[tag].append(num_calls)
 
     def summarize(self) -> Dict[str, float]:
         """Per-tag mean (reference benchmarker contract) plus `<tag>_steady`:

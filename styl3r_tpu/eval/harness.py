@@ -144,6 +144,9 @@ class EvalHarness:
         # num_calls = the BUCKETED target count actually rendered (>= t):
         # dividing by the true t would overstate ms/frame for scenes whose
         # target count is not an exact bucket (padding views are real work).
+        # `decoder_unpadded` records the same block divided by the TRUE t —
+        # the reference benchmarker's per-frame contract (benchmarker.py:22) —
+        # so benchmark.json carries both divisors explicitly.
         with self.benchmarker.time("decoder", num_calls=self._bucket_t(t)):
             output = self.benchmarker.sync(
                 self._render_bucketed(
@@ -151,6 +154,9 @@ class EvalHarness:
                     batch.target_near, batch.target_far,
                 )
             )
+        self.benchmarker.record(
+            "decoder_unpadded", self.benchmarker.last_elapsed, num_calls=t
+        )
 
         h, w = self.image_shape
         pred = output.color.reshape(b * t, h, w, 3)

@@ -24,6 +24,11 @@ class DecoderOutput(NamedTuple):
     color: Array  # (b, v, h, w, 3)
     depth: Array  # (b, v, h, w)
     alpha: Array  # (b, v, h, w)
+    # pair_cap telemetry, broadcast per view (per SHARD under shard_map: every
+    # view in a shard reports its shard's fused-sort totals). The pair_cap
+    # truncation was lossless iff (live_pairs <= pair_slots).all().
+    live_pairs: Optional[Array] = None  # (b, v) i32
+    pair_slots: Optional[Array] = None  # (b, v) i32
 
 
 def render_gaussians(
@@ -139,7 +144,7 @@ def render_gaussians(
         # slot count by n_devices and make the cap a silent no-op).
         n_loc, g_loc = fields_["means"].shape[:2]
         cap = pair_cap_per_gaussian * n_loc * g_loc if pair_cap_per_gaussian else None
-        return render_many(
+        out_ = render_many(
             cams_,
             fields_["means"],
             fields_.get("covariances"),
@@ -154,6 +159,12 @@ def render_gaussians(
             chunk=chunk,
             impl=impl,
             pair_cap=cap,
+        )
+        # Broadcast the scalar sort telemetry per view so shard_map's
+        # P(axis) out_specs apply uniformly (a scalar can't be sharded).
+        return out_._replace(
+            live_pairs=jnp.broadcast_to(out_.live_pairs, (n_loc,)),
+            pair_slots=jnp.broadcast_to(out_.pair_slots, (n_loc,)),
         )
 
     bgs = background_color.reshape(n, 3)
@@ -178,6 +189,8 @@ def render_gaussians(
         color=out.color.reshape(b, v, h, w, 3),
         depth=out.depth.reshape(b, v, h, w),
         alpha=out.alpha.reshape(b, v, h, w),
+        live_pairs=out.live_pairs.reshape(b, v),
+        pair_slots=out.pair_slots.reshape(b, v),
     )
 
 

@@ -47,6 +47,13 @@ class RenderOutput(NamedTuple):
     color: Array  # (..., h, w, 3)
     depth: Array  # (..., h, w) alpha-weighted expected depth
     alpha: Array  # (..., h, w) accumulated opacity
+    # pair_cap telemetry (None when produced by code predating it): the
+    # number of LIVE (tile, depth) pairs the fused sort produced, and the
+    # slot count actually kept for compositing. The pair_cap truncation is
+    # lossless iff live_pairs <= pair_slots — consumers (bench.py, the eval
+    # harness) check this at runtime instead of trusting the static cap.
+    live_pairs: Optional[Array] = None  # i32 scalar (or (n,) per-view copy)
+    pair_slots: Optional[Array] = None  # i32 scalar (or (n,) per-view copy)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -401,6 +408,10 @@ def render_many(
     _, sorted_gidx, starts, ends = _sort_pairs(
         pair_tiles, pair_depths, pair_gidx, n_total
     )
+    # Live pairs = pairs with a real tile id (< n_total). Invalid slots carry
+    # the sentinel n_total and sort to the end, so the last tile's `ends`
+    # IS the live count — free overflow telemetry for the pair_cap contract.
+    live_pairs = ends[-1]
     if pair_cap is not None and pair_cap < sorted_gidx.shape[0]:
         # Round UP to the kernel's 128-wide DMA window so a cap sized to the
         # live pair count never drops live pairs (the lossless contract).
@@ -408,6 +419,7 @@ def render_many(
         sorted_gidx = sorted_gidx[:cap]
         starts = jnp.minimum(starts, cap)
         ends = jnp.minimum(ends, cap)
+    pair_slots = jnp.int32(sorted_gidx.shape[0])
     counts = jnp.minimum(ends - starts, max_per_tile)
 
     flat = lambda x: x.reshape((n * g,) + x.shape[2:])
@@ -454,7 +466,10 @@ def render_many(
     alpha_img = (
         alpha.reshape(n, gy, gx, TILE, TILE).transpose(0, 1, 3, 2, 4).reshape(n, h, w)
     )
-    return RenderOutput(color=color, depth=depth, alpha=alpha_img)
+    return RenderOutput(
+        color=color, depth=depth, alpha=alpha_img,
+        live_pairs=live_pairs, pair_slots=pair_slots,
+    )
 
 
 def render(
@@ -498,5 +513,6 @@ def render(
         max_per_tile=max_per_tile, chunk=chunk, impl=impl, pair_cap=pair_cap,
     )
     return RenderOutput(
-        color=out.color[0], depth=out.depth[0], alpha=out.alpha[0]
+        color=out.color[0], depth=out.depth[0], alpha=out.alpha[0],
+        live_pairs=out.live_pairs, pair_slots=out.pair_slots,
     )

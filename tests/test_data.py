@@ -257,3 +257,14 @@ def test_scannet_pose_dataset_synthetic_layout(tmp_path):
     out, ncx, ncy = center_principal_point(imgs, 3.0, 7.0)
     assert out.shape[1] >= 10 and out.shape[2] >= 12
     assert ncx == out.shape[2] // 2 and ncy == out.shape[1] // 2
+
+    # Negative shift (principal point right of / below center): the reference
+    # crops the source at w+shift_x / h+shift_y, zeroing the far band
+    # (dataset_scannet_pose.py:168-174). w=12, cx=8 -> shift_x=-2: keep source
+    # cols [0, 10) at dest [2, 12), zero-pad cols [0, 2) and [12, 16).
+    imgs = np.arange(2 * 10 * 12 * 3, dtype=np.float32).reshape(2, 10, 12, 3)
+    out, ncx, ncy = center_principal_point(imgs, 8.0, 5.0)
+    assert out.shape == (2, 10, 16, 3)
+    np.testing.assert_array_equal(out[:, :, :2], 0.0)
+    np.testing.assert_array_equal(out[:, :, 12:], 0.0)
+    np.testing.assert_array_equal(out[:, :, 2:12], imgs[:, :, :10])

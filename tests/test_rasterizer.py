@@ -511,6 +511,15 @@ def test_render_pair_cap_lossless_with_headroom(impl):
     tiny = render(cam, means, None, shs, opas, (H, W), pair_cap=128, **kw)
     assert bool(jnp.isfinite(tiny.color).all())
 
+    # Telemetry: live_pairs reports the fused sort's live count exactly, and
+    # an overflowing cap is DETECTED (live_pairs > pair_slots), not silent.
+    assert int(base.live_pairs) == live
+    assert int(capped.live_pairs) == live
+    assert int(capped.pair_slots) >= live  # lossless contract held
+    assert live > 128
+    assert int(tiny.live_pairs) > int(tiny.pair_slots)  # overflow detected
+    assert int(tiny.pair_slots) == 128
+
 
 def test_sort_pairs_two_key_fallback_matches_packed():
     """With a huge fused tile space (tile bits leave < MIN_DEPTH_KEY_BITS of
