@@ -169,6 +169,20 @@ def main():
         t0 = time.perf_counter()
         float(predict_and_render_n(params, batch)[0])
         per_step = max(time.perf_counter() - t0 - roundtrip, 1e-9) / iters
+
+        # MFU: analytic model FLOPs (matmuls/convs, utils/flops.py) over the
+        # measured step time vs the chip's bf16 peak (VERDICT r3 #6).
+        from styl3r_tpu.utils import flops as flops_mod
+
+        enc = model.encoder
+        fwd_flops = flops_mod.styl3r_forward_flops(
+            b=batch_size, v=args.views, h=h, w=w, style_hw=h, n_targets=1,
+            enc_depth=enc.enc_depth, dec_depth=enc.dec_depth,
+            enc_dim=enc.enc_dim, dec_dim=enc.dec_dim,
+            pair_cap_per_gaussian=render_kwargs["pair_cap_per_gaussian"],
+        )["total"]
+        pair_note.update(flops_mod.mfu(fwd_flops, per_step))
+        pair_note["model_gflops"] = round(fwd_flops / 1e9, 1)
         return batch_size / per_step, pair_note
 
     def is_oom(exc) -> bool:

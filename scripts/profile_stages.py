@@ -424,6 +424,20 @@ def main():
         "derived_ms": {k: round(1e3 * t / b, 3) for k, t in derived.items()},
         "scenes_per_sec": round(b / results["full forward"], 3),
     }
+    # MFU of the full forward (analytic matmul/conv FLOPs, utils/flops.py).
+    from styl3r_tpu.utils import flops as flops_mod
+
+    fwd_flops = flops_mod.styl3r_forward_flops(
+        b=b, v=v, h=h, w=w, style_hw=h, n_targets=1,
+        enc_depth=enc.enc_depth, dec_depth=enc.dec_depth,
+        enc_dim=enc.enc_dim, dec_dim=enc.dec_dim,
+        pair_cap_per_gaussian=render_kwargs.get("pair_cap_per_gaussian", 8),
+    )
+    report["mfu"] = {
+        **flops_mod.mfu(fwd_flops["total"], results["full forward"]),
+        "model_gflops": round(fwd_flops["total"] / 1e9, 1),
+        "breakdown_gflops": {k: round(x / 1e9, 1) for k, x in fwd_flops.items()},
+    }
     print(json.dumps(report, indent=2))
     if args.output:
         Path(args.output).write_text(json.dumps(report, indent=2))
