@@ -179,3 +179,103 @@ def test_gaussians_is_pytree():
     assert len(leaves) == 4
     g2 = jax.tree.map(lambda x: x + 1, g)
     assert float(g2.opacities[0, 0]) == 1.0
+
+
+def _load_ref_epipolar():
+    """Execute the reference's epipolar_lines.py (with its own projection.py)
+    as a real package so relative imports resolve."""
+    import importlib.util
+    import sys
+    import types
+    from pathlib import Path
+
+    ref = Path("/root/reference/src/geometry")
+    pkg = types.ModuleType("refgeo")
+    pkg.__path__ = [str(ref)]
+    sys.modules["refgeo"] = pkg
+    for sub in ("projection", "epipolar_lines"):
+        spec = importlib.util.spec_from_file_location(f"refgeo.{sub}", ref / f"{sub}.py")
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = "refgeo"
+        sys.modules[f"refgeo.{sub}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["refgeo.epipolar_lines"]
+
+
+def test_project_rays_matches_executed_reference():
+    """styl3r_tpu project_rays vs the reference's own epipolar_lines.py run
+    on random ray bundles and cameras, both with and without near/far."""
+    import torch
+
+    ref = _load_ref_epipolar()
+    from styl3r_tpu.geometry.epipolar_lines import project_rays
+
+    rng = np.random.default_rng(7)
+    n = 256
+    origins = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    directions = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
+
+    # A generic camera near the origin looking roughly at the cloud.
+    k = np.asarray([[0.9, 0, 0.5], [0, 1.1, 0.45], [0, 0, 1]], np.float32)
+    ext = np.eye(4, dtype=np.float32)
+    ext[:3, 3] = [0.2, -0.1, -2.5]
+
+    for near, far in ((None, None), (0.5, 20.0)):
+        got = project_rays(
+            jnp.asarray(origins), jnp.asarray(directions),
+            jnp.asarray(ext), jnp.asarray(k),
+            near=None if near is None else jnp.full((n,), near, jnp.float32),
+            far=None if far is None else jnp.full((n,), far, jnp.float32),
+        )
+        want = ref.project_rays(
+            torch.from_numpy(origins), torch.from_numpy(directions),
+            torch.from_numpy(ext), torch.from_numpy(k),
+            near=None if near is None else torch.full((n,), near),
+            far=None if far is None else torch.full((n,), far),
+        )
+        ov_got = np.asarray(got.overlaps_image)
+        ov_want = want["overlaps_image"].numpy()
+        np.testing.assert_array_equal(ov_got, ov_want)
+        assert ov_got.any() and not ov_got.all()  # the case split is exercised
+        m = ov_want
+        for g, wkey in ((got.t_min, "t_min"), (got.t_max, "t_max"),
+                        (got.xy_min, "xy_min"), (got.xy_max, "xy_max")):
+            g = np.asarray(g)[m]
+            w = want[wkey].numpy()[m]
+            finite = np.isfinite(w)
+            np.testing.assert_allclose(g[finite], w[finite], rtol=2e-4, atol=2e-4)
+            assert np.array_equal(np.isfinite(g), finite)
+
+
+def test_lift_to_3d_and_get_depth_roundtrip():
+    """Points sampled on an epipolar segment lift back onto the source ray,
+    and get_depth returns their distance from the ray origin."""
+    from styl3r_tpu.geometry.epipolar_lines import get_depth, lift_to_3d, project_rays
+
+    origins = jnp.asarray([[0.0, 0.0, 0.0]] * 8)
+    directions = jnp.tile(
+        jnp.asarray([[0.1, 0.05, 1.0]]) / np.linalg.norm([0.1, 0.05, 1.0]), (8, 1)
+    )
+    ext = jnp.asarray(
+        np.array(
+            [[1, 0, 0, 1.0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+        )
+    )
+    k = jnp.asarray(np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32))
+    seg = project_rays(origins, directions, ext, k)
+    assert bool(seg.overlaps_image.any())
+
+    # Sample interior points of each segment and lift them.
+    ts = jnp.linspace(0.2, 0.8, 8)[:, None]
+    xy = seg.xy_min + ts * (seg.xy_max - seg.xy_min)
+    xyz = lift_to_3d(origins, directions, xy, ext, k)
+    # Lifted points lie on the source ray: (xyz - o) parallel to d.
+    rel = xyz - origins
+    cross = jnp.linalg.norm(jnp.cross(rel, directions), axis=-1)
+    ok = np.asarray(seg.overlaps_image)
+    np.testing.assert_allclose(np.asarray(cross)[ok], 0.0, atol=1e-3)
+    depth = get_depth(origins, directions, xy, ext, k)
+    np.testing.assert_allclose(
+        np.asarray(depth)[ok], np.linalg.norm(np.asarray(rel), axis=-1)[ok], rtol=1e-4
+    )
