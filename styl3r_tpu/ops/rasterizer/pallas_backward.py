@@ -106,7 +106,7 @@ def _backward_kernel(
     scan_u = (row_i <= col_j).astype(jnp.float32)
 
     def body(state):
-        w, t_cur, s_r, s_g, s_b, s_d = state
+        w, t_cur, s_q = state
         slot = jax.lax.rem(w, 2)
 
         @pl.when(w > 0)
@@ -157,30 +157,20 @@ def _backward_kernel(
         c_b = a[A_B : A_B + 1, :]
         c_d = a[A_D : A_D + 1, :]
 
-        # Suffix sums (within window) of weighted contributions, via one MXU
-        # prefix-sum matmul per channel: suffix = total - inclusive_prefix.
-        def suffix(q):
-            prefix = jnp.dot(q, scan_u, preferred_element_type=jnp.float32)
-            total = prefix[:, WINDOW - 1 :]
-            return total - prefix, total
-
-        sfx_r, tot_r = suffix(weight * c_r)
-        sfx_g, tot_g = suffix(weight * c_g)
-        sfx_b, tot_b = suffix(weight * c_b)
-        sfx_d, tot_d = suffix(weight * c_d)
+        # The per-pixel cotangents are constant over gaussians, so they
+        # commute into the suffix sums: the four per-channel suffix scans of
+        # the CUDA formulation collapse to ONE scan of q_j = <dL/dout, c_j>
+        # (q folds r, g, b, depth) — 2 MXU scan matmuls per window (this one
+        # + the transmittance scan above) instead of 5.
+        q = dc_r * c_r + dc_g * c_g + dc_b * c_b + dd * c_d  # (P, W)
+        wq = weight * q
+        prefix_q = jnp.dot(wq, scan_u, preferred_element_type=jnp.float32)
+        tot_q = prefix_q[:, WINDOW - 1 :]
+        s_q_i = (tot_q - prefix_q) + s_q  # suffix over this + later windows
 
         one_minus = jnp.maximum(1.0 - alpha_fwd, 0.01)
-        s_r_i = sfx_r + s_r
-        s_g_i = sfx_g + s_g
-        s_b_i = sfx_b + s_b
-        s_d_i = sfx_d + s_d
-
         dalpha = (
-            dc_r * (t_i * c_r - s_r_i / one_minus)
-            + dc_g * (t_i * c_g - s_g_i / one_minus)
-            + dc_b * (t_i * c_b - s_b_i / one_minus)
-            + dd * (t_i * c_d - s_d_i / one_minus)
-            + da * (t_final / one_minus)
+            t_i * q - s_q_i / one_minus + da * (t_final / one_minus)
         )
         dalpha = jnp.where(live, dalpha, 0.0)
 
@@ -208,14 +198,7 @@ def _backward_kernel(
         grad_ref[0, w, A_B, :] = d_b[0]
         grad_ref[0, w, A_D, :] = d_d[0]
 
-        return (
-            w - 1,
-            t_ws,
-            s_r + tot_r,
-            s_g + tot_g,
-            s_b + tot_b,
-            s_d + tot_d,
-        )
+        return (w - 1, t_ws, s_q + tot_q)
 
     def cond(state):
         return state[0] >= 0
@@ -223,8 +206,7 @@ def _backward_kernel(
     # The T_N*bg color term's alpha-derivative is folded into the dalpha
     # channel by the caller (da_eff = dalpha - dcolor . bg); suffix sums start
     # at zero.
-    zeros = jnp.zeros((P, 1), jnp.float32)
-    init = (n_done - 1, t_final, zeros, zeros, zeros, zeros)
+    init = (n_done - 1, t_final, jnp.zeros((P, 1), jnp.float32))
     jax.lax.while_loop(cond, body, init)
 
 
