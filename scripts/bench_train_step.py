@@ -39,7 +39,7 @@ REFERENCE_CADENCE = {
 ICI_OVERHEAD = 0.10
 
 
-def timed_step(model, params, batch, h, w, impl, loss_builder, n=5):
+def timed_step(model, params, batch, h, w, impl, loss_builder, n=5, pair_cap=0):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +53,7 @@ def timed_step(model, params, batch, h, w, impl, loss_builder, n=5):
             def loss_fn(p):
                 _, out = model.forward(
                     p, b2, (h, w), max_per_tile=2048, max_tiles_per_gaussian=8,
-                    impl=impl,
+                    impl=impl, pair_cap_per_gaussian=pair_cap,
                 )
                 return loss_of_output(out, b2, p)
 
@@ -82,6 +82,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--output", default="")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--pair-cap", type=int, default=4,
+                        help="pair_cap_per_gaussian for the render (0 = exact; "
+                             "lossless while live pairs fit — checked at runtime)")
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument(
         "--cases",
@@ -144,7 +147,22 @@ def main():
         batch = _example_batch(rng, b=b, v=2, h=h, w=w, t=1, style_hw=h)
         params = jax.jit(model.init)(jax.random.key(0), batch)
         builder = stage2_loss if stage == "stage2" else mse_loss
-        sec = timed_step(model, params, batch, h, w, impl, builder)
+        # pair_cap lossless check on this exact config (overflow telemetry).
+        _, probe_out = jax.jit(
+            lambda p, bb: model.forward(
+                p, bb, (h, w), max_per_tile=2048, max_tiles_per_gaussian=8,
+                impl=impl, pair_cap_per_gaussian=args.pair_cap,
+            )
+        )(params, batch)
+        live = int(np.asarray(probe_out.live_pairs).max())
+        slots = int(np.asarray(probe_out.pair_slots).min())
+        results[f"{case}:live_pairs"] = live
+        results[f"{case}:pair_slots"] = slots
+        if live > slots:
+            print(f"WARNING {case}: pair_cap overflow ({live} > {slots})",
+                  file=sys.stderr)
+        sec = timed_step(model, params, batch, h, w, impl, builder,
+                         pair_cap=args.pair_cap)
         ms = 1e3 * sec
         results[case] = round(ms, 2)
         ex_per_sec = b / sec
