@@ -719,6 +719,26 @@ class Trainer:
                 np.asarray(batch.target_intrinsics[0]),
             ),
         )
+        # Full 3-plane frustum wireframes (reference drawing/cameras.py
+        # draw_cameras, logged by validation_in_3d.render_cameras).
+        from ..utils.drawing import draw_cameras
+
+        n_cams = batch.target_extrinsics.shape[1]
+        cam_colors = np.stack(
+            [np.linspace(1, 0, n_cams), np.linspace(0, 1, n_cams),
+             np.full(n_cams, 0.3)], axis=-1,
+        )
+        planes = draw_cameras(
+            256,
+            np.asarray(batch.target_extrinsics[0]),
+            np.asarray(batch.target_intrinsics[0]),
+            cam_colors,
+            near=float(np.asarray(batch.target_near).min()),
+            far=float(np.asarray(batch.target_far).max()) * 0.1,
+        )
+        self.logger.log_image(
+            step, "val_camera_frustums", hcat(planes[0], planes[1], planes[2])
+        )
 
         # Wobble video around the first target camera
         # (src/visualization/camera_trajectory/wobble.py).
