@@ -318,6 +318,56 @@ def main():
         (params, batch.context_images), perturb_img,
     ))
 
+    # -- backward slices (VERDICT r3 #4: attribute the training backward) ----
+    # Select with --stages bwd.
+    def render_loss(mns, cvs, sh, op):
+        out = render_gaussians(
+            gaussians._replace(means=mns, covariances=cvs, harmonics=sh,
+                               opacities=op),
+            batch.target_extrinsics, batch.target_intrinsics,
+            batch.target_near, batch.target_far, (h, w), **render_kwargs,
+        )
+        return jnp.sum(jnp.square(out.color))
+
+    record("bwd:render fwd+bwd", (
+        jax.value_and_grad(render_loss, argnums=(0, 1, 2, 3)),
+        (gaussians.means, gaussians.covariances, gaussians.harmonics,
+         gaussians.opacities),
+        perturb_means,
+    ))
+
+    def composite_loss(a):
+        rgb, dep, alp = composite_pallas_diff(
+            a, starts0, counts0, bg0, gy, gx,
+            render_kwargs["max_per_tile"], jax.default_backend() == "cpu", 1,
+        )
+        return jnp.sum(jnp.square(rgb)) + jnp.sum(jnp.square(dep))
+
+    record("bwd:composite kernel fwd+bwd", (
+        jax.value_and_grad(composite_loss), (attrs0,),
+        lambda args, c: (args[0] + c,),
+    ))
+
+    from styl3r_tpu.ops.rasterizer.pallas_backward import scatter_window_grads
+
+    n_pairs0 = attrs0.shape[1]
+    max_windows0 = (render_kwargs["max_per_tile"] + 127) // 128 + 1
+    wg0 = jnp.ones((n_tiles, max_windows0, 16, 128), jnp.float32)
+    record("bwd:scatter_window_grads only", (
+        lambda wg: scatter_window_grads(wg, starts0, n_pairs0).sum() * 1e-12,
+        (wg0,), lambda args, c: (args[0] + c,),
+    ))
+
+    def pack_loss(mx):
+        return jnp.sum(jnp.square(
+            pack_attrs(mx, proj0.mean_y, proj0.con_a, proj0.con_b, proj0.con_c,
+                       opas.astype(jnp.float32), colors0, proj0.depths, sgidx)
+        ))
+
+    record("bwd:pack_attrs fwd+bwd (gather+scatter)", (
+        jax.value_and_grad(pack_loss), (proj0.mean_x,), perturb_means,
+    ))
+
     # -- chained in-situ slices ----------------------------------------------
     # predict -> (render pipeline truncated at stage K), all in ONE jit, so
     # each difference gives the *in-situ* cost of a render stage downstream of
