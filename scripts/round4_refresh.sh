@@ -39,4 +39,8 @@ python scripts/bench_train_step.py --output TRAINBENCH_r04.json
 #    (VERDICT r3 #2): per-stage XLA cost/memory analysis.
 python scripts/analyze_graph.py --output /tmp/ANALYZE_r04.json || true
 
+# 6. Backward attribution slices (per-process, VERDICT r3 #4).
+python scripts/profile_stages.py --stages bwd --iters 10 --pair-cap 4 \
+    --output /tmp/p2_bwd.json || true
+
 echo REFRESH-DONE

@@ -235,6 +235,17 @@ def backward_tiles_pallas(
         _backward_kernel, grid_x=gx, max_windows=max_windows, n_pairs=n_pairs,
         tiles_per_view=gy * gx,
     )
+    # Analytic cost for XLA's scheduler (see pallas_kernel.py): 2 scan
+    # matmuls + ~4 transcendentals per (pixel, lane) per window, plus the
+    # per-tile gradient block writes.
+    est_windows = max(n_pairs // WINDOW, 1)
+    cost_estimate = pl.CostEstimate(
+        flops=est_windows * (2 * 2 * P * WINDOW * WINDOW),
+        transcendentals=est_windows * 4 * P * WINDOW,
+        bytes_accessed=attrs.size * 4
+        + n_tiles * max_windows * ATTR_H * WINDOW * 4
+        + n_tiles * P * 6 * 4,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -262,6 +273,7 @@ def backward_tiles_pallas(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
+        cost_estimate=cost_estimate,
     )(
         starts.astype(jnp.int32),
         counts.astype(jnp.int32),

@@ -232,6 +232,17 @@ def composite_tiles_pallas(
         n_pairs=n_pairs,
         tiles_per_view=gy * gx,
     )
+    # Tell XLA what the custom call costs (it has NO model for pallas calls,
+    # which can distort scheduling/overlap around the kernel): every sorted
+    # pair window is visited ~once across the grid, each window doing one
+    # (P, W) x (W, W) scan matmul + one (P, W) x (W, 4) reduction + ~3
+    # transcendentals per (pixel, lane).
+    est_windows = max(n_pairs // WINDOW, 1)
+    cost_estimate = pl.CostEstimate(
+        flops=est_windows * (2 * P * WINDOW * WINDOW + 2 * P * WINDOW * 4),
+        transcendentals=est_windows * 3 * P * WINDOW,
+        bytes_accessed=attrs.size * 4 + n_tiles * P * 8 * 4,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -252,6 +263,7 @@ def composite_tiles_pallas(
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, 8), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        cost_estimate=cost_estimate,
     )(
         starts.astype(jnp.int32),
         counts.astype(jnp.int32),
