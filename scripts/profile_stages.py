@@ -419,6 +419,16 @@ def main():
             from styl3r_tpu.ops.rasterizer.render import _sort_pairs
 
             _, sgidx, starts, ends = _sort_pairs(pt, pd, pg, nviews * n_tiles)
+            # Apply the SAME pair_cap truncation as render_gaussians: without
+            # it the chain measures the uncapped gather while "full forward"
+            # runs capped, so the stage deltas conflate configurations (the
+            # r3 "6.5 ms composite residual" was exactly this artifact).
+            pcg = render_kwargs.get("pair_cap_per_gaussian", 0)
+            if pcg and pcg * nviews * gg < sgidx.shape[0]:
+                cap = -(-(pcg * nviews * gg) // 128) * 128
+                sgidx = sgidx[:cap]
+                starts = jnp.minimum(starts, cap)
+                ends = jnp.minimum(ends, cap)
             if stage == "binsort":
                 return sgidx, starts, ends
             from styl3r_tpu.ops.rasterizer.pallas_kernel import pack_attrs as pa
@@ -445,11 +455,25 @@ def main():
             )
             if stage == "composite":
                 return rgb, dep, alp
+            # Final image assembly exactly as render_many does it.
+            gy3, gx3 = gy2, gx2
+            color = (
+                rgb.reshape(nviews, gy3, gx3, TILE, TILE, 3)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(nviews, h, w, 3)
+            )
+            dimg = (
+                dep.reshape(nviews, gy3, gx3, TILE, TILE)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(nviews, h, w)
+            )
+            if stage == "images":
+                return color, dimg, alp
             raise ValueError(stage)
 
         return fn
 
-    for st in ("project", "binsort", "pack", "composite"):
+    for st in ("project", "binsort", "pack", "composite", "images"):
         record(f"chain:{st}", (
             chain_to(st),
             (params, imgs, batch.context_intrinsics, style), perturb_img,
