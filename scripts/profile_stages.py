@@ -348,13 +348,22 @@ def main():
         lambda args, c: (args[0] + c,),
     ))
 
-    from styl3r_tpu.ops.rasterizer.pallas_backward import scatter_window_grads
+    from styl3r_tpu.ops.rasterizer.pallas_backward import (
+        gather_window_grads,
+        scatter_window_grads,
+    )
 
     n_pairs0 = attrs0.shape[1]
     max_windows0 = (render_kwargs["max_per_tile"] + 127) // 128 + 1
     wg0 = jnp.ones((n_tiles, max_windows0, 16, 128), jnp.float32)
     record("bwd:scatter_window_grads only", (
         lambda wg: scatter_window_grads(wg, starts0, n_pairs0).sum() * 1e-12,
+        (wg0,), lambda args, c: (args[0] + c,),
+    ))
+    record("bwd:gather_window_grads only", (
+        lambda wg: gather_window_grads(
+            wg, starts0, counts0, n_pairs0
+        ).sum() * 1e-12,
         (wg0,), lambda args, c: (args[0] + c,),
     ))
 
@@ -366,6 +375,17 @@ def main():
 
     record("bwd:pack_attrs fwd+bwd (gather+scatter)", (
         jax.value_and_grad(pack_loss), (proj0.mean_x,), perturb_means,
+    ))
+
+    def pack_loss_grouped(mx):
+        return jnp.sum(jnp.square(
+            pack_attrs(mx, proj0.mean_y, proj0.con_a, proj0.con_b, proj0.con_c,
+                       opas.astype(jnp.float32), colors0, proj0.depths, sgidx,
+                       max_dup=render_kwargs["max_tiles_per_gaussian"])
+        ))
+
+    record("bwd:pack_attrs fwd+bwd (grouped)", (
+        jax.value_and_grad(pack_loss_grouped), (proj0.mean_x,), perturb_means,
     ))
 
     # -- chained in-situ slices ----------------------------------------------

@@ -44,9 +44,50 @@ WINDOW = 128  # gaussians per DMA window (= f32 lane tile)
 A_MX, A_MY, A_CA, A_CB, A_CC, A_OP, A_R, A_G, A_B, A_D = range(10)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def take_rows_grouped(table: Array, idx: Array, n_rows: int, max_dup: int):
+    """`jnp.take(table, idx, axis=0)` with a sort-based backward.
+
+    The autodiff VJP of a duplicate-index gather is a duplicate-index
+    scatter-add, which serializes on TPU (measured ~17 ms for the pack_attrs
+    backward at the 256^2 bench config). When each row index appears at most
+    `max_dup` times (here: a gaussian emits at most max_tiles_per_gaussian
+    pairs), the backward can instead sort the cotangent rows by index (one
+    small u32 sort), find each row's contiguous run by searchsorted, and sum
+    the <= max_dup run entries with plain row gathers — exact summation, no
+    scatter. `n_rows`/`max_dup` are static (shape) arguments."""
+    del n_rows, max_dup
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_rows_grouped_fwd(table, idx, n_rows, max_dup):
+    return jnp.take(table, idx, axis=0), idx
+
+
+def _take_rows_grouped_bwd(n_rows, max_dup, idx, d_out):
+    n_idx = idx.shape[0]
+    key, perm = jax.lax.sort(
+        (idx.astype(jnp.int32), jnp.arange(n_idx, dtype=jnp.int32)), num_keys=1
+    )
+    grouped = jnp.take(d_out, perm, axis=0)  # (n_idx, A) rows grouped by index
+    tgt = jnp.arange(n_rows, dtype=jnp.int32)
+    s = jnp.searchsorted(key, tgt, side="left").astype(jnp.int32)
+    e = jnp.searchsorted(key, tgt, side="right").astype(jnp.int32)
+    acc = jnp.zeros((n_rows, d_out.shape[1]), d_out.dtype)
+    for k in range(max_dup):
+        pos = s + k
+        rows = jnp.take(grouped, jnp.minimum(pos, n_idx - 1), axis=0)
+        acc = acc + jnp.where((pos < e)[:, None], rows, 0.0)
+    return acc, None
+
+
+take_rows_grouped.defvjp(_take_rows_grouped_fwd, _take_rows_grouped_bwd)
+
+
 def pack_attrs(
     mean_x: Array, mean_y: Array, con_a: Array, con_b: Array, con_c: Array,
     opacities: Array, colors: Array, depths: Array, sorted_gidx: Array,
+    max_dup: int = 0,
 ) -> Array:
     """Gather per-pair attributes in sorted order, attribute-major:
     (16, n_pairs padded to a multiple of 128).
@@ -58,7 +99,13 @@ def pack_attrs(
     each gathered element is a contiguous 64-byte row (TPU gathers vectorize
     along the minor dim) — then one well-tiled transpose to the attribute-
     major kernel layout. The naive lane-axis gather rows[:, sorted_gidx] was
-    ~10x slower (10 x n_pairs scalar-ish gathers)."""
+    ~10x slower (10 x n_pairs scalar-ish gathers).
+
+    max_dup > 0 declares that each gaussian id appears at most max_dup times
+    in sorted_gidx (true by construction: a gaussian emits at most
+    max_tiles_per_gaussian pairs) and routes the gather through
+    take_rows_grouped, whose sort-based backward replaces the duplicate-id
+    scatter-add. 0 keeps plain autodiff (the scatter)."""
     table = jnp.stack(
         [
             mean_x, mean_y,
@@ -70,7 +117,12 @@ def pack_attrs(
         axis=1,
     )  # (g, 10)
     table = jnp.pad(table, ((0, 0), (0, ATTR_H - table.shape[1])))  # (g, 16)
-    gathered = jnp.take(table, sorted_gidx, axis=0)  # (n_pairs, 16)
+    if max_dup > 0:
+        gathered = take_rows_grouped(
+            table, sorted_gidx, table.shape[0], max_dup
+        )  # (n_pairs, 16)
+    else:
+        gathered = jnp.take(table, sorted_gidx, axis=0)  # (n_pairs, 16)
     n = gathered.shape[0]
     pad_n = (-n) % WINDOW
     gathered = jnp.pad(gathered, ((0, pad_n), (0, 0)))

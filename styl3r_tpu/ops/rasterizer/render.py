@@ -87,7 +87,7 @@ def _composite_pallas_fwd(
 def _composite_pallas_bwd(
     gy, gx, max_per_tile, interpret, n_views, residuals, cotangents
 ):
-    from .pallas_backward import backward_tiles_pallas, scatter_window_grads
+    from .pallas_backward import backward_tiles_pallas, gather_window_grads
 
     attrs, starts, counts, background, n_done, t_final = residuals
     dcolor, ddepth, dalpha = cotangents
@@ -102,7 +102,7 @@ def _composite_pallas_bwd(
         (gy, gx), max_per_tile=max_per_tile, interpret=interpret,
         n_views=n_views,
     )
-    grad_attrs = scatter_window_grads(window_grads, starts, attrs.shape[1])
+    grad_attrs = gather_window_grads(window_grads, starts, counts, attrs.shape[1])
     grad_bg_per_tile = jnp.einsum("tpc,tp->tc", dcolor, t_final)
     grad_bg = grad_bg_per_tile.reshape(bg2d.shape[0], n_tiles, 3).sum(axis=1)
     grad_bg = grad_bg.reshape(background.shape)
@@ -432,6 +432,7 @@ def render_many(
             flat(proj.con_a), flat(proj.con_b), flat(proj.con_c),
             flat(opacities).astype(jnp.float32), flat(colors),
             flat(proj.depths), sorted_gidx,
+            max_dup=max_tiles_per_gaussian,
         )
         rgb, dep, alpha = composite_pallas_diff(
             attrs, starts, counts, backgrounds, gy, gx,

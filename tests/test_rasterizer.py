@@ -546,3 +546,80 @@ def test_sort_pairs_two_key_fallback_matches_packed():
     np.testing.assert_array_equal(np.asarray(g_packed), np.asarray(g_exact))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2[:64]))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2[:64]))
+
+
+def test_gather_window_grads_matches_scatter():
+    """gather_window_grads (the hot-path formulation) must equal the
+    scatter-add oracle on window blocks with the kernel's zero-outside-range
+    property, across empty tiles, duplicate starts, boundary-window overlap,
+    max_per_tile truncation, and forward early exit (unwritten windows)."""
+    from styl3r_tpu.ops.rasterizer.pallas_backward import (
+        gather_window_grads,
+        scatter_window_grads,
+    )
+    from styl3r_tpu.ops.rasterizer.pallas_kernel import ATTR_H, WINDOW
+
+    rng = np.random.default_rng(7)
+    n_pairs = 8 * WINDOW
+    n_tiles = 12
+    max_windows = 3
+
+    # Nondecreasing starts with duplicates (empty tiles) + a trailing
+    # empty-tile run at start == n_pairs.
+    raw = np.sort(rng.integers(0, n_pairs, n_tiles - 3))
+    starts = np.concatenate([[0], raw[:-1], [raw[-1], n_pairs, n_pairs]])
+    nxt = np.append(starts[1:], n_pairs)
+    counts = np.minimum(nxt - starts, 300)  # truncation below the raw range
+
+    grads = rng.normal(size=(n_tiles, max_windows, ATTR_H, WINDOW)).astype(
+        np.float32
+    )
+    # Enforce the kernel's output contract: lanes outside [start, end) are
+    # exactly zero; windows beyond the tile's processed range (early exit /
+    # dead windows) were never written and stay zero.
+    ndone = rng.integers(1, max_windows + 1, n_tiles)
+    for t in range(n_tiles):
+        base = (starts[t] // WINDOW) * WINDOW
+        for w in range(max_windows):
+            if w >= ndone[t]:
+                grads[t, w] = 0.0
+                continue
+            gidx = base + w * WINDOW + np.arange(WINDOW)
+            live = (gidx >= starts[t]) & (gidx < starts[t] + counts[t])
+            grads[t, w, :, ~live] = 0.0
+
+    wg = jnp.asarray(grads)
+    st = jnp.asarray(starts, jnp.int32)
+    ct = jnp.asarray(counts, jnp.int32)
+    ref = scatter_window_grads(wg, st, n_pairs)
+    got = gather_window_grads(wg, st, ct, n_pairs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0, rtol=0)
+
+
+def test_take_rows_grouped_grad_matches_plain_take():
+    """take_rows_grouped's sort-based backward must equal the plain gather's
+    autodiff scatter-add, including duplicate ids (up to max_dup), ids that
+    never appear, and a cotangent with zero rows (capped-out pairs)."""
+    from styl3r_tpu.ops.rasterizer.pallas_kernel import take_rows_grouped
+
+    rng = np.random.default_rng(13)
+    n_rows, n_idx, max_dup, a = 50, 300, 6, 16
+    # Each id at most max_dup times; several ids absent entirely.
+    pool = np.repeat(np.arange(n_rows), max_dup)
+    idx = jnp.asarray(rng.choice(pool, n_idx, replace=False), jnp.int32)
+    table = jnp.asarray(rng.normal(size=(n_rows, a)), jnp.float32)
+    cot = rng.normal(size=(n_idx, a)).astype(np.float32)
+    cot[rng.uniform(size=n_idx) < 0.3] = 0.0
+    cot = jnp.asarray(cot)
+
+    def loss_plain(t):
+        return jnp.vdot(jnp.take(t, idx, axis=0), cot)
+
+    def loss_grouped(t):
+        return jnp.vdot(take_rows_grouped(t, idx, n_rows, max_dup), cot)
+
+    g_plain = jax.grad(loss_plain)(table)
+    g_grouped = jax.grad(loss_grouped)(table)
+    np.testing.assert_allclose(
+        np.asarray(g_grouped), np.asarray(g_plain), rtol=1e-6, atol=1e-6
+    )
