@@ -381,7 +381,7 @@ def main():
         return jnp.sum(jnp.square(
             pack_attrs(mx, proj0.mean_y, proj0.con_a, proj0.con_b, proj0.con_c,
                        opas.astype(jnp.float32), colors0, proj0.depths, sgidx,
-                       max_dup=render_kwargs["max_tiles_per_gaussian"])
+                       full_gidx=sgidx)
         ))
 
     record("bwd:pack_attrs fwd+bwd (grouped)", (

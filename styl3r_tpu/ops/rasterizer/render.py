@@ -412,6 +412,7 @@ def render_many(
     # the sentinel n_total and sort to the end, so the last tile's `ends`
     # IS the live count — free overflow telemetry for the pair_cap contract.
     live_pairs = ends[-1]
+    full_gidx = sorted_gidx  # pre-cap: every gaussian appears exactly m times
     if pair_cap is not None and pair_cap < sorted_gidx.shape[0]:
         # Round UP to the kernel's 128-wide DMA window so a cap sized to the
         # live pair count never drops live pairs (the lossless contract).
@@ -432,7 +433,7 @@ def render_many(
             flat(proj.con_a), flat(proj.con_b), flat(proj.con_c),
             flat(opacities).astype(jnp.float32), flat(colors),
             flat(proj.depths), sorted_gidx,
-            max_dup=max_tiles_per_gaussian,
+            full_gidx=full_gidx,
         )
         rgb, dep, alpha = composite_pallas_diff(
             attrs, starts, counts, backgrounds, gy, gx,

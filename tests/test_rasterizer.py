@@ -596,27 +596,33 @@ def test_gather_window_grads_matches_scatter():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0, rtol=0)
 
 
-def test_take_rows_grouped_grad_matches_plain_take():
+@pytest.mark.parametrize("cap", [300, 180])
+def test_take_rows_grouped_grad_matches_plain_take(cap):
     """take_rows_grouped's sort-based backward must equal the plain gather's
-    autodiff scatter-add, including duplicate ids (up to max_dup), ids that
-    never appear, and a cotangent with zero rows (capped-out pairs)."""
+    autodiff scatter-add, for the full slot list and for a truncating cap
+    (capped-out slots contribute zero), including a cotangent with zero
+    rows (dead pairs)."""
     from styl3r_tpu.ops.rasterizer.pallas_kernel import take_rows_grouped
 
     rng = np.random.default_rng(13)
-    n_rows, n_idx, max_dup, a = 50, 300, 6, 16
-    # Each id at most max_dup times; several ids absent entirely.
-    pool = np.repeat(np.arange(n_rows), max_dup)
-    idx = jnp.asarray(rng.choice(pool, n_idx, replace=False), jnp.int32)
+    n_rows, exact_dup, a = 50, 6, 16
+    n_slots = n_rows * exact_dup
+    # Every id exactly exact_dup times, in a random global order (the
+    # pre-pair_cap sorted slot list's invariant).
+    idx_full = jnp.asarray(
+        rng.permutation(np.repeat(np.arange(n_rows), exact_dup)), jnp.int32
+    )
+    assert n_slots == idx_full.shape[0]
     table = jnp.asarray(rng.normal(size=(n_rows, a)), jnp.float32)
-    cot = rng.normal(size=(n_idx, a)).astype(np.float32)
-    cot[rng.uniform(size=n_idx) < 0.3] = 0.0
+    cot = rng.normal(size=(cap, a)).astype(np.float32)
+    cot[rng.uniform(size=cap) < 0.3] = 0.0
     cot = jnp.asarray(cot)
 
     def loss_plain(t):
-        return jnp.vdot(jnp.take(t, idx, axis=0), cot)
+        return jnp.vdot(jnp.take(t, idx_full[:cap], axis=0), cot)
 
     def loss_grouped(t):
-        return jnp.vdot(take_rows_grouped(t, idx, n_rows, max_dup), cot)
+        return jnp.vdot(take_rows_grouped(t, idx_full, cap, exact_dup), cot)
 
     g_plain = jax.grad(loss_plain)(table)
     g_grouped = jax.grad(loss_grouped)(table)
