@@ -132,6 +132,11 @@ def _backward_kernel(
             & (alpha_raw < 0.99)
         )
         gidx = base + w * WINDOW + lane
+        # NOTE: gather_window_grads (the scatter-add replacement) relies on
+        # this kernel emitting EXACT zeros for lanes outside [start, end) and
+        # for unwritten windows (grad_ref zero-init + this live mask).
+        # Relaxing the masking silently drops gradient mass there instead of
+        # failing loudly — keep the [start, end) clamp if you edit this.
         live = live & (gidx >= start) & (gidx < end)
         # The compositing alpha (the forward's value, incl. the 0.99 clamp path)
         alpha_fwd = jnp.where(

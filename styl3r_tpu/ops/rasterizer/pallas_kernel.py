@@ -27,7 +27,7 @@ jax.custom_vjp in render.py — fwd+bwd is ~2.5x the pure-XLA path on a v5e.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,11 @@ def _take_rows_grouped_fwd(table, idx_full, cap, exact_dup):
 
 def _take_rows_grouped_bwd(cap, exact_dup, idx_full, d_out):
     n_slots = idx_full.shape[0]  # == n_rows * exact_dup
+    assert n_slots % exact_dup == 0, (
+        "take_rows_grouped: idx_full length must be n_rows * exact_dup "
+        "(every row id exactly exact_dup times), got "
+        f"{n_slots} slots with exact_dup={exact_dup}"
+    )
     n_rows = n_slots // exact_dup
     _, perm = jax.lax.sort(
         (idx_full.astype(jnp.int32), jnp.arange(n_slots, dtype=jnp.int32)),
@@ -92,7 +97,7 @@ take_rows_grouped.defvjp(_take_rows_grouped_fwd, _take_rows_grouped_bwd)
 def pack_attrs(
     mean_x: Array, mean_y: Array, con_a: Array, con_b: Array, con_c: Array,
     opacities: Array, colors: Array, depths: Array, sorted_gidx: Array,
-    full_gidx: Array = None,
+    full_gidx: Optional[Array] = None,
 ) -> Array:
     """Gather per-pair attributes in sorted order, attribute-major:
     (16, n_pairs padded to a multiple of 128).
@@ -123,6 +128,14 @@ def pack_attrs(
     )  # (g, 10)
     table = jnp.pad(table, ((0, 0), (0, ATTR_H - table.shape[1])))  # (g, 16)
     if full_gidx is not None:
+        if full_gidx.shape[0] % table.shape[0]:
+            raise ValueError(
+                "pack_attrs: full_gidx length must be an exact multiple of "
+                "the gaussian count (every id exactly max_tiles_per_gaussian "
+                f"times); got {full_gidx.shape[0]} slots for "
+                f"{table.shape[0]} gaussians — grouped backward would "
+                "misalign silently."
+            )
         exact_dup = full_gidx.shape[0] // table.shape[0]
         gathered = take_rows_grouped(
             table, full_gidx, sorted_gidx.shape[0], exact_dup
