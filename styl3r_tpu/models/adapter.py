@@ -10,10 +10,23 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
 from ..geometry.gaussians import Gaussians, build_covariance
+
+
+def safe_normalize(x: Array, eps: float = 1e-8) -> Array:
+    """Unit-normalize along the last axis with a backward that is smooth at
+    x == 0. `x / (jnp.linalg.norm(x) + eps)` NaNs in the BACKWARD at an
+    exactly-zero row (norm's grad is x/||x|| -> 0/0) — and exact-zero raw
+    quaternion rows do occur in training (dead-relu pixel + zero bias in the
+    gs head's final 1x1 conv; one such row poisoned the whole step-2 gradient
+    through clip_by_global_norm in the round-5 overfit run). Keeping eps^2
+    INSIDE the rsqrt matches torch F.normalize's clamp-inside behavior
+    (reference gaussian_adapter.py rotations normalize) up to O(eps^2)."""
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
 
 
 def sh_degree_mask(sh_degree: int, dtype=jnp.float32) -> Array:
@@ -68,7 +81,7 @@ def unified_gaussian_adapter(
     scales = 0.001 * jnp.logaddexp(scales, 0.0)  # softplus
     scales = jnp.minimum(scales, 0.3)
 
-    rotations = rotations / (jnp.linalg.norm(rotations, axis=-1, keepdims=True) + eps)
+    rotations = safe_normalize(rotations, eps)
 
     sh = sh.reshape(*sh.shape[:-1], 3, n_sh) * sh_degree_mask(sh_degree, raw.dtype)
 
@@ -125,7 +138,7 @@ def posed_gaussian_adapter(
     multiplier = get_scale_multiplier(intrinsics, pixel_size)
     scales = scales * depths[..., None] * multiplier[..., None]
 
-    rotations = rotations / (jnp.linalg.norm(rotations, axis=-1, keepdims=True) + eps)
+    rotations = safe_normalize(rotations, eps)
     sh = sh.reshape(*sh.shape[:-1], 3, n_sh) * sh_degree_mask(sh_degree, raw.dtype)
 
     # World-space covariance via quaternion composition: Rc (R S² Rᵀ) Rcᵀ =

@@ -194,22 +194,22 @@ def render_gaussians(
     )
 
 
-def render_orthographic(
-    gaussians: Gaussians,
+def orthographic_cameras(
     extrinsics: Array,  # (b, v, 4, 4) c2w
     width: Array,  # (b, v) world-units view width
     height: Array,  # (b, v)
     near: Array,
     far: Array,
-    image_shape: Tuple[int, int],
     fov_degrees: float = 0.1,
-    **render_kwargs,
-) -> DecoderOutput:
-    """Orthographic-style projection for top-down gaussian/camera
-    visualizations (reference render_cuda_orthographic,
-    cuda_splatting.py:136-227): fake orthography by pulling the camera far
-    back with a tiny field of view."""
-    h, w = image_shape
+):
+    """Fake-orthographic camera construction (reference
+    render_cuda_orthographic, cuda_splatting.py:136-227, up to the rasterizer
+    call): pull each camera back along its own -z by distance = (w/2)/tan_x
+    for a tiny fov_x, derive tan_fov_y from the requested view height, and
+    shift near/far by the move-back. Returns (c2w, normalized K, near, far) —
+    the inputs render_gaussians wants. Split out so the executed-reference
+    parity test (tests/test_reference_parity.py) can golden the construction
+    against the reference source."""
     fov_x = jnp.deg2rad(jnp.asarray(fov_degrees))
     tan_fov_x = jnp.tan(0.5 * fov_x)
     distance = (0.5 * width) / tan_fov_x
@@ -226,7 +226,7 @@ def render_orthographic(
     new_ext = jax.vmap(backed)(ext_flat, d_flat).reshape(b, v, 4, 4)
 
     # Normalized intrinsics with the tiny fov: fx = 1/(2 tan_x).
-    fx = 1.0 / (2.0 * tan_fov_x)
+    fx = jnp.broadcast_to(1.0 / (2.0 * tan_fov_x), (b, v))
     fy = 1.0 / (2.0 * tan_fov_y)
     k = jnp.zeros((b, v, 3, 3))
     k = k.at[..., 0, 0].set(fx)
@@ -234,8 +234,27 @@ def render_orthographic(
     k = k.at[..., 0, 2].set(0.5)
     k = k.at[..., 1, 2].set(0.5)
     k = k.at[..., 2, 2].set(1.0)
+    return new_ext, k, near + distance, far + distance
 
+
+def render_orthographic(
+    gaussians: Gaussians,
+    extrinsics: Array,  # (b, v, 4, 4) c2w
+    width: Array,  # (b, v) world-units view width
+    height: Array,  # (b, v)
+    near: Array,
+    far: Array,
+    image_shape: Tuple[int, int],
+    fov_degrees: float = 0.1,
+    **render_kwargs,
+) -> DecoderOutput:
+    """Orthographic-style projection for top-down gaussian/camera
+    visualizations (reference render_cuda_orthographic,
+    cuda_splatting.py:136-227): fake orthography by pulling the camera far
+    back with a tiny field of view."""
+    new_ext, k, near2, far2 = orthographic_cameras(
+        extrinsics, width, height, near, far, fov_degrees
+    )
     return render_gaussians(
-        gaussians, new_ext, k, near + distance, far + distance, image_shape,
-        **render_kwargs,
+        gaussians, new_ext, k, near2, far2, image_shape, **render_kwargs
     )

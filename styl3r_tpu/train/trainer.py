@@ -360,8 +360,19 @@ class Trainer:
     def restore_state(self, path: Path, like: TrainState) -> TrainState:
         """True resume: restore params + optimizer state + step against the
         freshly-initialized TrainState template (same optimizer config).
-        Falls back to params-only restore for legacy checkpoints."""
+
+        Each leaf is restored straight onto the TEMPLATE's sharding (orbax
+        abstract-array targets), so a DDP-replicated or tensor-parallel state
+        resumes onto the mesh without a host gather + reshard roundtrip —
+        this is where multi-chip resume silently breaks if restore drops
+        shardings. Falls back to params-only restore for legacy checkpoints.
+        """
         import orbax.checkpoint as ocp
+
+        def abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            return x
 
         ckptr = ocp.StandardCheckpointer()
         target = {
@@ -371,7 +382,7 @@ class Trainer:
         }
         try:
             restored = ckptr.restore(
-                Path(path).absolute(), target=jax.device_get(target)
+                Path(path).absolute(), target=jax.tree.map(abstract, target)
             )
             return TrainState(
                 params=restored["params"],

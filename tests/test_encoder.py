@@ -67,6 +67,54 @@ def test_unified_adapter_properties():
     np.testing.assert_allclose(eig, np.sort(np.asarray(g.scales) ** 2, -1), rtol=1e-3)
 
 
+def test_adapter_gradient_finite_at_zero_quaternion():
+    """Regression (round-5 overfit NaN): an EXACTLY-zero raw quaternion row
+    (dead-relu pixel + zero bias in the gs head's final 1x1 conv) must not
+    NaN the adapter backward — `x / (norm(x) + eps)` did, poisoning every
+    param through clip_by_global_norm."""
+    from styl3r_tpu.models.adapter import posed_gaussian_adapter
+
+    raw = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, raw_gaussian_channels(0))),
+        jnp.float32,
+    )
+    raw = raw.at[1, 3:7].set(0.0)  # zero quat row
+
+    def loss(raw):
+        g = unified_gaussian_adapter(
+            means=jnp.zeros((4, 3)), opacities=jnp.full((4,), 0.7), raw=raw,
+            sh_degree=0,
+        )
+        return sum(
+            jnp.sum(jnp.square(x))
+            for x in [g.covariances, g.rotations, g.scales, g.harmonics]
+        )
+
+    grads = jax.grad(loss)(raw)
+    assert bool(jnp.isfinite(grads).all()), "unified adapter grad NaN at zero quat"
+
+    def loss_posed(raw):
+        ext = jnp.eye(4)[None]
+        k = jnp.asarray([[[0.8, 0.0, 0.5], [0.0, 0.8, 0.5], [0.0, 0.0, 1.0]]])
+        g = posed_gaussian_adapter(
+            extrinsics=jnp.broadcast_to(ext, (4, 4, 4)),
+            intrinsics=jnp.broadcast_to(k, (4, 3, 3)),
+            coordinates=jnp.full((4, 2), 0.5),
+            depths=jnp.ones((4,)),
+            opacities=jnp.full((4,), 0.7),
+            raw=raw,
+            image_shape=(8, 8),
+            sh_degree=0,
+        )
+        return sum(
+            jnp.sum(jnp.square(x))
+            for x in [g.covariances, g.rotations, g.scales, g.means]
+        )
+
+    grads = jax.grad(loss_posed)(raw)
+    assert bool(jnp.isfinite(grads).all()), "posed adapter grad NaN at zero quat"
+
+
 @pytest.mark.slow
 def test_encoder_shapes_and_determinism():
     rng = np.random.default_rng(1)

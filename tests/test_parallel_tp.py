@@ -69,3 +69,53 @@ def test_tensor_parallel_train_step():
     assert len(jax.tree_util.tree_leaves(specs)) == len(
         jax.tree_util.tree_leaves(params)
     )
+
+
+@pytest.mark.slow
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a TP-sharded TrainState (params + opt state)
+    restores each leaf directly onto the template's mesh sharding (VERDICT r4
+    #7): no host-gather resharding, values exact, shardings preserved."""
+    from styl3r_tpu.train.trainer import Trainer
+    from styl3r_tpu.utils.config import RootCfg
+
+    mesh = make_mesh_2d(n_data=4, n_model=2)
+    model = Styl3rModel(
+        sh_degree=0, enc_depth=1, dec_depth=2, enc_dim=32, dec_dim=16,
+        enc_heads=2, dec_heads=2, head_feature_dim=16, head_last_dim=16,
+        head_layer_dims=(8, 8, 16, 16),
+    )
+    rng = np.random.default_rng(3)
+    batch = _example_batch(rng, b=2, v=2, h=16, w=16, t=1, style_hw=16)
+    params = shard_params_tp(jax.jit(model.init)(jax.random.key(0), batch), mesh)
+    tx = make_optimizer(lr=1e-4, warmup_steps=0, total_steps=10)
+    opt_state = jax.jit(tx.init)(params)
+    # Non-trivial adam moments so the opt-state roundtrip is meaningful.
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt_state = jax.jit(tx.update)(grads, opt_state, params)
+    state = TrainState(params=params, opt_state=opt_state, step=jnp.asarray(5, jnp.int32))
+
+    cfg = RootCfg()
+    cfg.checkpointing.output_dir = str(tmp_path)
+    trainer = Trainer(cfg, model=model)
+    trainer.save_checkpoint(state, tmp_path / "ck")
+
+    like = TrainState(
+        params=jax.tree.map(jnp.zeros_like, params),
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    restored = trainer.restore_state(tmp_path / "ck", like)
+    assert int(restored.step) == 5
+    rq = restored.params["params"]["backbone"]["encoder"]["enc_blocks_0"]["attn"]["qkv"]["kernel"]
+    oq = params["params"]["backbone"]["encoder"]["enc_blocks_0"]["attn"]["qkv"]["kernel"]
+    assert rq.sharding.spec == P(None, "model"), "restore dropped the TP sharding"
+    np.testing.assert_array_equal(np.asarray(rq), np.asarray(oq))
+    # Opt-state moments come back sharded and exact too.
+    orig_leaves = jax.tree_util.tree_leaves(opt_state)
+    rest_leaves = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(orig_leaves) == len(rest_leaves)
+    for a, b in zip(orig_leaves, rest_leaves):
+        if isinstance(a, jax.Array) and a.ndim:
+            assert a.sharding.spec == b.sharding.spec
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1027,3 +1027,165 @@ def test_noposplat_multi_encoder_matches_executed_reference():
         ref_g.harmonics.reshape(B, -1, 3, 1).numpy(),
         atol=1e-4,
     )
+
+
+def test_render_orthographic_matches_reference_source():
+    """Executes the reference's render_cuda_orthographic camera/projection
+    construction (cuda_splatting.py:136-227 — pure torch up to the CUDA
+    rasterizer call, stubbed here to capture its settings) and goldens our
+    orthographic_cameras + make_raster_camera against it: move-back
+    extrinsics, tan-fov pair, shifted near/far, and the final pixel-space
+    projection of random 3D points (reference full_projection + ndc2Pix vs
+    our pinhole RasterCamera path)."""
+    captured = []
+
+    class Settings:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    class Rasterizer:
+        def __init__(self, raster_settings):
+            self.s = raster_settings
+
+        def __call__(self, **kw):
+            captured.append((self.s, kw))
+            g = kw["means3D"].shape[0]
+            h, w = self.s.image_height, self.s.image_width
+            z = torch.zeros
+            return z(3, h, w), z(g), z(1, h, w), z(1, h, w), z(g)
+
+    dgr = types.ModuleType("diff_gaussian_rasterization")
+    dgr.GaussianRasterizationSettings = Settings
+    dgr.GaussianRasterizer = Rasterizer
+
+    # Package scaffolding so cuda_splatting's `...geometry.projection`
+    # relative import resolves to the real reference source.
+    pkgs = {}
+    for name, path in (
+        ("refsrc", REF),
+        ("refsrc.model", REF / "model"),
+        ("refsrc.model.decoder", REF / "model/decoder"),
+        ("refsrc.geometry", REF / "geometry"),
+    ):
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [str(path)]
+        pkgs[name] = pkg
+    pkgs["diff_gaussian_rasterization"] = dgr
+    load_ref("geometry/projection.py", "refsrc.geometry.projection", pkgs)
+    spec = importlib.util.spec_from_file_location(
+        "refsrc.model.decoder.cuda_splatting",
+        REF / "model/decoder/cuda_splatting.py",
+    )
+    ref = importlib.util.module_from_spec(spec)
+    ref.__package__ = "refsrc.model.decoder"
+    sys.modules["refsrc.model.decoder.cuda_splatting"] = ref
+    spec.loader.exec_module(ref)
+
+    from styl3r_tpu.models.decoder import orthographic_cameras
+    from styl3r_tpu.ops.rasterizer.camera import make_raster_camera
+
+    rng = np.random.default_rng(17)
+    g = 8
+    h, w = 32, 48
+    # The reference function itself only supports b=1 (its scalar
+    # move_back[2, 3] = -distance_to_near assignment breaks for batched
+    # widths; render_projections always reaches it with per-axis calls whose
+    # width tensors broadcast only at b=1) — golden three independent rigs.
+    for case in range(3):
+        captured.clear()
+        a = torch.from_numpy(rng.normal(0, 0.5, (3,)).astype(np.float32))
+        skew = torch.zeros(3, 3)
+        skew[0, 1], skew[0, 2], skew[1, 2] = -a[2], a[1], -a[0]
+        skew = skew - skew.T
+        e = torch.eye(4)
+        e[:3, :3] = torch.matrix_exp(skew)
+        e[:3, 3] = torch.from_numpy(rng.normal(0, 1.0, (3,)).astype(np.float32))
+        extrinsics = e[None]
+        width = torch.from_numpy(rng.uniform(2.0, 5.0, (1,)).astype(np.float32))
+        height = torch.from_numpy(rng.uniform(2.0, 5.0, (1,)).astype(np.float32))
+        near = torch.full((1,), 0.1)
+        far = torch.full((1,), 100.0)
+        means = torch.from_numpy(rng.normal(0, 1.0, (1, g, 3)).astype(np.float32))
+        covs = torch.eye(3).expand(1, g, 3, 3) * 0.01
+        shs = torch.from_numpy(rng.uniform(0, 1, (1, g, 3, 1)).astype(np.float32))
+        opa = torch.full((1, g), 0.9)
+        bg = torch.zeros(1, 3)
+
+        dump = {}
+        ref.render_cuda_orthographic(
+            extrinsics, width, height, near, far, (h, w), bg, means, covs,
+            shs, opa, fov_degrees=10.0, use_sh=False, dump=dump,
+        )
+        assert len(captured) == 1
+        s = captured[0][0]
+
+        my_ext, my_k, my_near, my_far = orthographic_cameras(
+            jnp.asarray(extrinsics.numpy())[None],
+            jnp.asarray(width.numpy())[None],
+            jnp.asarray(height.numpy())[None],
+            jnp.asarray(near.numpy())[None],
+            jnp.asarray(far.numpy())[None],
+            fov_degrees=10.0,
+        )
+
+        # 1. Camera move-back + near/far shift match the executed reference.
+        np.testing.assert_allclose(
+            np.asarray(my_ext[0]), dump["extrinsics"].numpy(), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_near[0]), dump["near"].numpy(), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_far[0]), dump["far"].numpy(), rtol=1e-5
+        )
+
+        cam = make_raster_camera(my_ext[0], my_k[0], my_near[0], my_far[0], (h, w))
+        # 2. tan-fov pair.
+        np.testing.assert_allclose(
+            float(cam.tan_fov[0, 0]), float(s.tanfovx), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(cam.tan_fov[0, 1]), float(s.tanfovy), rtol=1e-4
+        )
+        # 3. View matrix and camera position.
+        np.testing.assert_allclose(
+            np.asarray(cam.w2c[0]), s.viewmatrix.numpy().T, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(cam.cam_pos[0]), s.campos.numpy(), rtol=1e-4, atol=1e-5
+        )
+        # 4. Pixel-space projection: reference full_projection (row-vector
+        # convention) + the CUDA ndc2Pix((x+1)*S-1)/2 vs our pinhole path
+        # (project.py mean_x = fx tx/tz + cx - 0.5).
+        homog = torch.cat([means[0], torch.ones(g, 1)], -1)
+        p_hom = homog @ s.projmatrix  # projmatrix is stored transposed
+        p_ndc = (p_hom[:, :3] / (p_hom[:, 3:4] + 1e-7)).numpy()
+        ref_px = ((p_ndc[:, 0] + 1) * w - 1) * 0.5
+        ref_py = ((p_ndc[:, 1] + 1) * h - 1) * 0.5
+        pv = homog @ s.viewmatrix
+        tx, ty, tz = pv[:, 0].numpy(), pv[:, 1].numpy(), pv[:, 2].numpy()
+        my_px = (
+            np.asarray(cam.focal[0, 0]) * tx / tz
+            + np.asarray(cam.principal[0, 0]) - 0.5
+        )
+        my_py = (
+            np.asarray(cam.focal[0, 1]) * ty / tz
+            + np.asarray(cam.principal[0, 1]) - 0.5
+        )
+        np.testing.assert_allclose(my_px, ref_px, rtol=1e-3, atol=5e-3)
+        # Documented reference quirk (cuda_splatting.py:166): it derives
+        # fov_y = atan(2 * tan_fov_y) — not 2 * atan(tan_fov_y) — so the
+        # y-scale baked into ITS projmatrix is tan(0.5 * atan(2t)) instead of
+        # the t it hands the rasterizer settings as tanfovy (check #2 above
+        # proves we match the settings value exactly). Apply that factor to
+        # compare against the quirked projmatrix; our consistent pinhole K
+        # is the correct construction.
+        t = float(s.tanfovy)
+        t_quirk = np.tan(0.5 * np.arctan(2.0 * t))
+        quirk_py = (
+            np.asarray(cam.focal[0, 1]) * (t / t_quirk) * ty / tz
+            + np.asarray(cam.principal[0, 1]) - 0.5
+        )
+        np.testing.assert_allclose(quirk_py, ref_py, rtol=1e-3, atol=5e-3)
+        # And without the quirk we are within the ~1% the quirk introduces.
+        np.testing.assert_allclose(my_py, ref_py, rtol=1.5e-2, atol=5e-3)
