@@ -32,7 +32,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--tiny", action="store_true", help="tiny trunk dims (smoke)")
-    parser.add_argument("--iters", type=int, default=10, help="scan length per timing")
+    parser.add_argument(
+        "--iters", type=int, default=30,
+        help="scan length per timing (default 30: the r5 accounting matrix "
+             "measured iters=10 runs 1-2 scenes/s low — the fixed fetch/"
+             "dispatch overhead amortizes over the in-jit scan, and the r3 "
+             "41-scenes/s profile bar was an n=30 measurement)",
+    )
     parser.add_argument("--views", type=int, default=2)
     parser.add_argument("--batch", type=int, default=1, help="scenes per step")
     parser.add_argument("--size", type=int, default=256)
@@ -44,6 +50,17 @@ def main():
     parser.add_argument(
         "--extra", default="",
         help="also write this JSON file with the measurement (e.g. BENCH_EXTRA.json)",
+    )
+    parser.add_argument(
+        "--pair-cap", type=int, default=2,
+        help="pair_cap_per_gaussian: static cap on kept sorted pair slots "
+             "(cap * n_gaussians). Lossless while live pairs <= kept slots — "
+             "checked at runtime (live_pairs telemetry; overflow prints a "
+             "WARNING and tags the record). Default 2 matches the r3 profile "
+             "protocol (PROFILE_r03_2view 'full forward (pair_cap=2g)'): the "
+             "attribute-gather HBM traffic scales with pair SLOTS (512 B/slot "
+             "lane-padded), not live pairs, and this scene peaks at 1,853 "
+             "live pairs vs 262,144 slots (141x headroom).",
     )
     args = parser.parse_args()
 
@@ -120,11 +137,10 @@ def main():
         params = make_params(batch)
         render_kwargs = dict(impl=impl, max_tiles_per_gaussian=8)
         render_kwargs["max_per_tile"] = max_per_tile
-        # Post-sort pair cap at 4 tile-slots per gaussian average (half the
-        # 8-slot bin bound): lossless while live pairs fit (live pairs are
-        # <10% of slots with the exact ellipse culling) and removes half the
-        # lane-padded attribute-gather HBM traffic.
-        render_kwargs["pair_cap_per_gaussian"] = 4
+        # Post-sort pair cap (see --pair-cap): lossless while live pairs fit
+        # (checked below) and removes most of the lane-padded attribute-gather
+        # HBM traffic, which scales with SLOTS, not live pairs.
+        render_kwargs["pair_cap_per_gaussian"] = args.pair_cap
 
         @jax.jit
         def predict_and_render_n(params, batch):
@@ -228,7 +244,8 @@ def main():
     record = {
         "metric": (
             f"scenes/sec/chip ({args.views}-view {h}x{w} b={used['batch_size']} "
-            f"predict+render, {impl}, {params_note}, mpt={used['max_per_tile']})"
+            f"predict+render, {impl}, {params_note}, mpt={used['max_per_tile']}, "
+            f"cap={args.pair_cap}, n={used['iters']})"
         ),
         "value": round(scenes_per_sec, 4),
         "unit": "scenes/s",

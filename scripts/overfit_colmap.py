@@ -249,6 +249,33 @@ def main(argv=None):
         return float(np.mean(psnrs)), float(np.min(psnrs)), float(np.max(psnrs))
 
     series, evals = [], []
+
+    def write_output(stage2=None, partial=False):
+        out = {
+            "task": "stage-1 overfit on bundled COLMAP scene, scratch init",
+            "scene": str(args.scene_dir),
+            "n_frames": n,
+            "held_out": len(eval_samples),
+            "size": args.size,
+            "model": args.model,
+            "params_m": round(n_params / 1e6, 2),
+            "steps": args.steps,
+            "batch": args.batch,
+            "targets_per_sample": args.targets,
+            "lr": args.lr,
+            "backend": jax.default_backend(),
+            "series": series,
+            "evals": evals,
+            "final_psnr": evals[-1]["psnr"] if evals else None,
+            "wall_s": round(time.time() - t_start, 1),
+        }
+        if partial:
+            out["partial"] = True
+        if stage2 is not None:
+            out["stage2"] = stage2
+        Path(args.output).write_text(json.dumps(out, indent=1))
+        return out
+
     key = jax.random.key(args.seed + 1)
     t_start = time.time()
     for i in range(args.steps):
@@ -271,8 +298,11 @@ def main(argv=None):
             print(
                 f"step {i+1}: loss {float(metrics['loss']):.5f} "
                 f"held-out PSNR {mean_p:.2f} dB (min {min_p:.2f}, max {max_p:.2f}) "
-                f"[{time.time()-t_start:.0f}s]"
+                f"[{time.time()-t_start:.0f}s]", flush=True,
             )
+            # Crash insurance: persist the curve-so-far after every eval (the
+            # TPU sits behind a tunnel that can drop mid-run).
+            write_output(partial=True)
 
     stage2 = None
     if args.stage2_steps:
@@ -352,27 +382,7 @@ def main(argv=None):
             f"[{stage2['wall_s']:.0f}s]"
         )
 
-    out = {
-        "task": "stage-1 overfit on bundled COLMAP scene, scratch init",
-        "scene": str(args.scene_dir),
-        "n_frames": n,
-        "held_out": len(eval_samples),
-        "size": args.size,
-        "model": args.model,
-        "params_m": round(n_params / 1e6, 2),
-        "steps": args.steps,
-        "batch": args.batch,
-        "targets_per_sample": args.targets,
-        "lr": args.lr,
-        "backend": jax.default_backend(),
-        "series": series,
-        "evals": evals,
-        "final_psnr": evals[-1]["psnr"] if evals else None,
-        "wall_s": round(time.time() - t_start, 1),
-    }
-    if stage2 is not None:
-        out["stage2"] = stage2
-    Path(args.output).write_text(json.dumps(out, indent=1))
+    out = write_output(stage2=stage2)
     print(f"wrote {args.output}: final held-out PSNR "
           f"{out['final_psnr'] and round(out['final_psnr'], 2)} dB")
 
