@@ -84,7 +84,10 @@ def main():
     print("BENCH_ATTRIB_r05.json", attrib["matrix_scenes_per_sec"])
 
     # --- #3: 4-view refresh ---
-    if tmp["p4_full"]:
+    # Don't clobber a richer hand-assembled artifact (the profiler's --stages
+    # filter emits a bare {"full forward": ms} without the derived fields).
+    existing = load("PROFILE_r05_4view.json")
+    if tmp["p4_full"] and not (existing or {}).get("scenes_per_sec"):
         p4 = {
             "config": tmp["p4_full"].get("config"),
             "per_scene_ms": {
