@@ -157,6 +157,9 @@ def main(argv=None):
     ap.add_argument("--stage2-lr", type=float, default=2e-4)
     ap.add_argument("--vgg-seed", type=int, default=42)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-scratch-init", action="store_true",
+                    help="skip scratch_init_heads (reproduces the degenerate "
+                         "all-gaussians-at-origin init)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--bf16", action="store_true", help="bf16 backbone/head trunks")
     ap.add_argument("--output", default="OVERFIT_r05.json")
@@ -218,6 +221,13 @@ def main(argv=None):
         args.targets, Batch,
     )
     params = jax.jit(model.init)(jax.random.key(args.seed), batch0)
+    if not args.no_scratch_init:
+        # Without this, scratch init is degenerate: expm1 pts3d puts every
+        # gaussian at the camera origin -> empty renders -> zero color grads
+        # (see styl3r_tpu/train/scratch_init.py).
+        from styl3r_tpu.train.scratch_init import scratch_init_heads
+
+        params = scratch_init_heads(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model {args.model}: {n_params/1e6:.1f}M params")
     tx = make_optimizer(
