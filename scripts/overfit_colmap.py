@@ -220,14 +220,20 @@ def main(argv=None):
         images, intrinsics, poses, [sample_train() for _ in range(args.batch)],
         args.targets, Batch,
     )
-    params = jax.jit(model.init)(jax.random.key(args.seed), batch0)
-    if not args.no_scratch_init:
-        # Without this, scratch init is degenerate: expm1 pts3d puts every
-        # gaussian at the camera origin -> empty renders -> zero color grads
-        # (see styl3r_tpu/train/scratch_init.py).
-        from styl3r_tpu.train.scratch_init import scratch_init_heads
+    # Without scratch_init_heads, scratch init is degenerate: expm1 pts3d
+    # puts every gaussian at the camera origin -> empty renders -> zero color
+    # grads (see styl3r_tpu/train/scratch_init.py). It MUST be fused into the
+    # jitted init: applying it eagerly (host asarray + eager damp multiplies)
+    # produced params that deterministically crashed the axon backend at the
+    # first donated-buffer step execution (INTERNAL/FAILED_PRECONDITION),
+    # while the same values produced inside one jitted computation run fine.
+    from styl3r_tpu.train.scratch_init import scratch_init_heads
 
-        params = scratch_init_heads(params)
+    def init_fn(key, batch):
+        p = model.init(key, batch)
+        return p if args.no_scratch_init else scratch_init_heads(p)
+
+    params = jax.jit(init_fn)(jax.random.key(args.seed), batch0)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"model {args.model}: {n_params/1e6:.1f}M params")
     tx = make_optimizer(

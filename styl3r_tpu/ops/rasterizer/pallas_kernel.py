@@ -258,6 +258,19 @@ def _composite_kernel(
     )
     w_done, acc, trans = jax.lax.while_loop(cond, body, init)
 
+    # The early transmittance exit can leave the NEXT window's prefetch DMA
+    # in flight: body(w) starts window w+1's copy before compositing window
+    # w, so exiting at w_done < n_windows orphans the copy into slot
+    # w_done % 2. A grid step must finish with its DMA semaphores at zero —
+    # an unwaited semaphore desyncs the next tile's waits and faults the
+    # whole TPU program (INTERNAL backend error). This only triggers on
+    # dense clouds where alpha saturates mid-range (n_windows >= 2 + early
+    # exit), e.g. training from scratch init — sparse scenes run every
+    # window and exit clean, which is why inference benches never hit it.
+    @pl.when(w_done < n_windows)
+    def _():
+        start_dma(jax.lax.rem(w_done, 2), w_done).wait()
+
     out_ref[0, :, 0] = acc[:, 0] + trans[:, 0] * bg_ref[view, 0]
     out_ref[0, :, 1] = acc[:, 1] + trans[:, 0] * bg_ref[view, 1]
     out_ref[0, :, 2] = acc[:, 2] + trans[:, 0] * bg_ref[view, 2]
