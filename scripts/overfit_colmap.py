@@ -52,9 +52,14 @@ MODEL_KWARGS = {
 }
 
 
-def load_scene(scene_dir: Path, size: int):
+def load_scene(scene_dir: Path, size: int, return_points: bool = False):
     """Images (n, size, size, 3) in [0,1], normalized intrinsics, c2w poses
-    (same loading path as infer_colmap.py)."""
+    (same loading path as infer_colmap.py). With return_points, also the
+    COLMAP sparse point cloud (m, 3) in the SAME (auto-oriented) world frame
+    as the returned poses — LLFF poses_bounds keeps the COLMAP world frame
+    (only camera-axis columns are permuted), so the auto-orient transform is
+    the only thing to apply (verified: 42-86% of points project inside each
+    frame with depths matching the stored LLFF bounds)."""
     from PIL import Image
 
     from styl3r_tpu.data.colmap import (
@@ -64,6 +69,7 @@ def load_scene(scene_dir: Path, size: int):
         llff_intrinsics_normalized,
         load_colmap_model,
         read_llff_poses,
+        read_points3d_binary,
     )
 
     sparse = scene_dir / "sparse" / "0"
@@ -87,7 +93,7 @@ def load_scene(scene_dir: Path, size: int):
         poses_all, hwf, _ = read_llff_poses(scene_dir / "poses_bounds.npy")
         poses = poses_all[: len(photo_paths)]
         intrinsics = llff_intrinsics_normalized(hwf[: len(photo_paths)])
-    poses, _ = auto_orient_and_center_poses(poses)
+    poses, transform = auto_orient_and_center_poses(poses)
 
     def load(p):
         im = Image.open(p).convert("RGB")
@@ -96,23 +102,68 @@ def load_scene(scene_dir: Path, size: int):
         return np.asarray(im, np.float32) / 255.0
 
     images = np.stack([load(p) for p in photo_paths])
-    return images, intrinsics.astype(np.float32), poses.astype(np.float32)
+    out = (images, intrinsics.astype(np.float32), poses.astype(np.float32))
+    if not return_points:
+        return out
+    pts_file = sparse / "points3D.bin"
+    points = None
+    if pts_file.exists():
+        xyz = read_points3d_binary(pts_file)[:, :3]
+        points = ((transform[:3, :3] @ xyz.T).T + transform[:3, 3]).astype(np.float32)
+    return out + (points,)
+
+
+def _sparse_anchor(pts_c0, ext, intr, c0, c1, hw, k_points):
+    """Project COLMAP points (already rescaled AND expressed in the ctx-0
+    camera frame — the frame the pts3d heads predict in) into both context
+    views: flat gaussian indices (2*k,), target xyz (2*k, 3), mask (2*k,).
+    `ext` is the rescaled ctx-0-relative extrinsics, so inv(ext[c]) maps the
+    ctx-0 frame into camera c."""
+    h, w = hw
+    idx_out = np.zeros((2 * k_points,), np.int32)
+    tgt_out = np.zeros((2 * k_points, 3), np.float32)
+    mask_out = np.zeros((2 * k_points,), np.float32)
+    points = pts_c0
+    for j, c in enumerate((c0, c1)):
+        w2c = np.linalg.inv(ext[c])
+        pc = (w2c[:3, :3] @ points.T).T + w2c[:3, 3]
+        z = pc[:, 2]
+        kmat = intr[c]
+        u = kmat[0, 0] * pc[:, 0] / np.clip(z, 1e-6, None) + kmat[0, 2]
+        v = kmat[1, 1] * pc[:, 1] / np.clip(z, 1e-6, None) + kmat[1, 2]
+        ok = (z > 0.1) & (z < 50.0) & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+        sel = np.flatnonzero(ok)
+        if len(sel) > k_points:  # deterministic strided subsample
+            sel = sel[:: len(sel) // k_points + 1][:k_points]
+        n = len(sel)
+        px = np.minimum((u[sel] * w).astype(np.int32), w - 1)
+        py = np.minimum((v[sel] * h).astype(np.int32), h - 1)
+        sl = slice(j * k_points, j * k_points + n)
+        idx_out[sl] = j * h * w + py * w + px
+        tgt_out[sl] = pts_c0[sel]
+        mask_out[sl] = 1.0
+    return idx_out, tgt_out, mask_out
 
 
 def make_batch(images, intrinsics, poses, samples, n_targets, Batch,
-               style_idx=None):
+               style_idx=None, points=None, k_points=2048):
     """samples: list of (ctx0, ctx1, [targets...]) frame-index tuples.
     style_idx: optional per-sample style-frame indices (stage-2); default
-    style := context 0 (overwritten by the stage-1 step anyway)."""
+    style := context 0 (overwritten by the stage-1 step anyway).
+    points: optional (m, 3) COLMAP sparse cloud in the poses' world frame —
+    fills Batch.sparse_anchor for train/losses.py sparse_anchor_loss."""
     import jax.numpy as jnp
 
+    hw = images.shape[1:3]
     ctx_i, ctx_k, tgt_e, tgt_k, tgt_im, nears, fars = [], [], [], [], [], [], []
+    anc_idx, anc_tgt, anc_mask = [], [], []
     for c0, c1, tgts in samples:
         ext = poses.copy()
         scale = float(np.linalg.norm(ext[c0, :3, 3] - ext[c1, :3, 3]))
         scale = max(scale, 1e-6)
         ext[:, :3, 3] /= scale
-        ext = np.linalg.inv(ext[c0])[None] @ ext
+        rel = np.linalg.inv(ext[c0])
+        ext = rel[None] @ ext
         ctx_i.append(images[[c0, c1]])
         ctx_k.append(intrinsics[[c0, c1]])
         tgt_e.append(ext[tgts])
@@ -120,7 +171,22 @@ def make_batch(images, intrinsics, poses, samples, n_targets, Batch,
         tgt_im.append(images[tgts])
         nears.append(np.full((n_targets,), 0.1 / scale, np.float32))
         fars.append(np.full((n_targets,), 100.0 / scale, np.float32))
+        if points is not None:
+            pr = points / scale
+            pts_c0 = (rel[:3, :3] @ pr.T).T + rel[:3, 3]
+            i, t, m = _sparse_anchor(
+                pts_c0.astype(np.float32), ext, intrinsics, c0, c1, hw, k_points
+            )
+            anc_idx.append(i), anc_tgt.append(t), anc_mask.append(m)
+    anchor = None
+    if points is not None:
+        anchor = {
+            "flat_idx": jnp.asarray(np.stack(anc_idx)),
+            "target": jnp.asarray(np.stack(anc_tgt)),
+            "mask": jnp.asarray(np.stack(anc_mask)),
+        }
     return Batch(
+        sparse_anchor=anchor,
         context_images=jnp.asarray(np.stack(ctx_i)),
         context_intrinsics=jnp.asarray(np.stack(ctx_k)),
         target_extrinsics=jnp.asarray(np.stack(tgt_e)),
@@ -160,6 +226,20 @@ def main(argv=None):
     ap.add_argument("--no-scratch-init", action="store_true",
                     help="skip scratch_init_heads (reproduces the degenerate "
                          "all-gaussians-at-origin init)")
+    ap.add_argument("--pts3d-bound", type=float, default=20.0,
+                    help="radial clamp on the pts3d head (models/dpt.py "
+                         "reg_dense_pts3d); 0 disables (reference-exact "
+                         "unbounded expm1 — diverges from scratch)")
+    ap.add_argument("--no-stabilize", action="store_true",
+                    help="drop the scratch_stabilizer loss terms "
+                         "(train/losses.py) from the stage-1 objective")
+    ap.add_argument("--anchor-weight", type=float, default=0.2,
+                    help="weight of the COLMAP sparse-point pts3d anchor "
+                         "(train/losses.py sparse_anchor_loss); 0 disables. "
+                         "Plays the role of the reference's MASt3R warm "
+                         "start: the geometric signal scratch training needs")
+    ap.add_argument("--k-points", type=int, default=2048,
+                    help="anchor points per context view per sample")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--bf16", action="store_true", help="bf16 backbone/head trunks")
     ap.add_argument("--output", default="OVERFIT_r05.json")
@@ -207,6 +287,7 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = Styl3rModel(
         sh_degree=0, backbone_dtype=dtype, head_trunk_dtype=dtype,
+        pts3d_bound=args.pts3d_bound or None,
         **MODEL_KWARGS[args.model],
     )
     hw = (args.size, args.size)
@@ -243,8 +324,19 @@ def main(argv=None):
     state = TrainState(
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
     )
+    stage1_loss = None
+    if not args.no_stabilize:
+        from styl3r_tpu.train.losses import scratch_stabilizer
+
+        def stage1_loss(output, batch, gaussians, global_step=0,
+                        identity_output=None):
+            mse = jnp.mean((output.color - batch.target_images) ** 2)
+            stab, sm = scratch_stabilizer(gaussians)
+            return mse + stab, {"mse": mse, **sm}
+
     step_fn = jax.jit(
-        make_train_step(model, tx, hw, stylized=False, **render_kwargs),
+        make_train_step(model, tx, hw, stylized=False, loss_fn=stage1_loss,
+                        **render_kwargs),
         donate_argnums=(0,),
     )
 
@@ -279,6 +371,8 @@ def main(argv=None):
             "batch": args.batch,
             "targets_per_sample": args.targets,
             "lr": args.lr,
+            "pts3d_bound": args.pts3d_bound or None,
+            "stabilizer": not args.no_stabilize,
             "backend": jax.default_backend(),
             "series": series,
             "evals": evals,

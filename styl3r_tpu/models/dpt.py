@@ -163,11 +163,33 @@ class DPTTrunk(nn.Module):
         return path1  # (b, h/2, w/2, 256)
 
 
-def reg_dense_pts3d(raw: Array) -> Array:
-    """'exp' postprocess (heads/postprocess.py:46-61): direction * expm1(norm)."""
+def reg_dense_pts3d(
+    raw: Array,
+    bound: Optional[float] = None,
+    d_min: float = 0.1,
+) -> Array:
+    """'exp' postprocess (heads/postprocess.py:46-61): direction * expm1(norm).
+
+    With `bound` (scratch-training mode, no reference analog — the reference
+    always warm-starts from MASt3R and never needs this), the radial distance
+    is smoothly clamped to [d_min, bound]:
+
+        dist = d_min + (bound - d_min) * tanh(expm1(norm) / (bound - d_min))
+
+    which is ~identity for mid-scene depths but caps the expm1 blow-up that
+    kills from-scratch optimization: an unbounded head lets |means| explode
+    (measured 2.9 -> 1863 in 30 steps), every gaussian leaves every frustum,
+    color gradients become exactly zero, and training is dead. The floor stops
+    the dual failure mode (all points collapsing onto the camera origin).
+    Default None is the reference-exact path.
+    """
     norm = jnp.linalg.norm(raw, axis=-1, keepdims=True)
     direction = raw / jnp.clip(norm, 1e-8, None)
-    return direction * jnp.expm1(norm)
+    dist = jnp.expm1(norm)
+    if bound is not None:
+        span = bound - d_min
+        dist = d_min + span * jnp.tanh(dist / span)
+    return direction * dist
 
 
 class DPTPts3dHead(nn.Module):
@@ -187,6 +209,8 @@ class DPTPts3dHead(nn.Module):
     # two convs + exp postprocess always run f32 — pts3d positions are
     # expm1-sensitive (the reference keeps whole heads f32 via no-autocast).
     trunk_dtype: Optional[Dtype] = None
+    # Scratch-training radial clamp (see reg_dense_pts3d); None = reference.
+    pts3d_bound: Optional[float] = None
 
     @nn.compact
     def __call__(self, tokens: List[Array], image_size: Tuple[int, int]):
@@ -202,7 +226,7 @@ class DPTPts3dHead(nn.Module):
         x = nn.relu(x)
         out_ch = 4 if self.with_conf else 3
         x = nn.Conv(out_ch, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
-        pts = reg_dense_pts3d(x[..., :3])
+        pts = reg_dense_pts3d(x[..., :3], bound=self.pts3d_bound)
         if self.with_conf:
             conf = 1.0 + jnp.exp(jnp.minimum(x[..., 3], 20.0))
             return pts, conf

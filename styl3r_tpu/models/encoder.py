@@ -65,6 +65,11 @@ class Styl3rEncoder(nn.Module):
     head_feature_dim: int = 256
     head_last_dim: int = 128
     head_layer_dims: tuple = (96, 192, 384, 768)
+    # Scratch-training radial pts3d clamp (dpt.reg_dense_pts3d): None keeps
+    # the reference-exact unbounded expm1 postprocess (the reference always
+    # warm-starts from MASt3R and never trains from random init; see
+    # styl3r_tpu/train/scratch_init.py for why scratch needs the clamp).
+    pts3d_bound: Optional[float] = None
 
     def setup(self):
         dims = dict(
@@ -93,8 +98,8 @@ class Styl3rEncoder(nn.Module):
             layer_dims=self.head_layer_dims,
             trunk_dtype=self.head_trunk_dtype,
         )
-        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
-        self.head2 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
+        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, pts3d_bound=self.pts3d_bound, **head_dims)
+        self.head2 = DPTPts3dHead(last_dim=self.head_last_dim, pts3d_bound=self.pts3d_bound, **head_dims)
         structure_channels = 1 + raw_gaussian_channels(self.sh_degree) - 3 * d_sh(self.sh_degree)
         self.gaussian_param_head = DPTGSHead(out_channels=structure_channels, **head_dims)
         self.gaussian_param_head2 = DPTGSHead(out_channels=structure_channels, **head_dims)
@@ -213,6 +218,11 @@ class Styl3rTokenStyleEncoder2View(nn.Module):
     head_feature_dim: int = 256
     head_last_dim: int = 128
     head_layer_dims: tuple = (96, 192, 384, 768)
+    # Scratch-training radial pts3d clamp (dpt.reg_dense_pts3d): None keeps
+    # the reference-exact unbounded expm1 postprocess (the reference always
+    # warm-starts from MASt3R and never trains from random init; see
+    # styl3r_tpu/train/scratch_init.py for why scratch needs the clamp).
+    pts3d_bound: Optional[float] = None
 
     def setup(self):
         from .croco import CrocoEncBackbone, StructureBuilder, TokenStylizer
@@ -245,7 +255,7 @@ class Styl3rTokenStyleEncoder2View(nn.Module):
             layer_dims=self.head_layer_dims,
             trunk_dtype=self.head_trunk_dtype,
         )
-        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
+        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, pts3d_bound=self.pts3d_bound, **head_dims)
         structure_channels = (
             1 + raw_gaussian_channels(self.sh_degree) - 3 * d_sh(self.sh_degree)
         )
@@ -339,6 +349,11 @@ class NoPoSplatMultiEncoder(nn.Module):
     head_feature_dim: int = 256
     head_last_dim: int = 128
     head_layer_dims: tuple = (96, 192, 384, 768)
+    # Scratch-training radial pts3d clamp (dpt.reg_dense_pts3d): None keeps
+    # the reference-exact unbounded expm1 postprocess (the reference always
+    # warm-starts from MASt3R and never trains from random init; see
+    # styl3r_tpu/train/scratch_init.py for why scratch needs the clamp).
+    pts3d_bound: Optional[float] = None
 
     def setup(self):
         dims = dict(
@@ -361,8 +376,8 @@ class NoPoSplatMultiEncoder(nn.Module):
             layer_dims=self.head_layer_dims,
             trunk_dtype=self.head_trunk_dtype,
         )
-        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
-        self.head2 = DPTPts3dHead(last_dim=self.head_last_dim, **head_dims)
+        self.head1 = DPTPts3dHead(last_dim=self.head_last_dim, pts3d_bound=self.pts3d_bound, **head_dims)
+        self.head2 = DPTPts3dHead(last_dim=self.head_last_dim, pts3d_bound=self.pts3d_bound, **head_dims)
         full_channels = 1 + raw_gaussian_channels(self.sh_degree)
         self.gaussian_param_head = DPTGSHead(out_channels=full_channels, **head_dims)
         self.gaussian_param_head2 = DPTGSHead(out_channels=full_channels, **head_dims)

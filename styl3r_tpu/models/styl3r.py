@@ -34,6 +34,10 @@ class Batch(NamedTuple):
     target_far: Array  # (b, t)
     style_image: Array  # (b, hs, ws, 3) in [0, 1]
     target_images: Optional[Array] = None  # (b, t, h, w, 3) in [0, 1] (training)
+    # Optional sparse geometric supervision (scratch training from COLMAP
+    # scenes; no reference analog — the reference gets geometry from a MASt3R
+    # warm start instead). Dict of arrays; see train/losses.py sparse_anchor_loss.
+    sparse_anchor: Optional[Any] = None
 
 
 def normalize_images(images: Array) -> Array:

@@ -84,3 +84,69 @@ def test_scratch_init_sets_biases_and_wakes_gradients():
     assert sqnorm(g1) > 0.0
     assert sqnorm(g1["params"]["head1"]) > 0.0
     assert sqnorm(g1["params"]["backbone"]) > 0.0
+
+
+def test_pts3d_bound_clamps_and_matches_reference_when_off():
+    from styl3r_tpu.models.dpt import reg_dense_pts3d
+
+    raw = jnp.asarray(np.random.default_rng(1).normal(0, 4, (64, 3)), jnp.float32)
+    ref = reg_dense_pts3d(raw)
+    # Off (None) is bitwise the reference-exact expm1 postprocess.
+    np.testing.assert_array_equal(np.asarray(reg_dense_pts3d(raw, None)), np.asarray(ref))
+    # On: radial distance lives in [d_min, bound]; direction is preserved.
+    pts = reg_dense_pts3d(raw, bound=20.0, d_min=0.1)
+    dist = np.linalg.norm(np.asarray(pts), axis=-1)
+    assert dist.min() >= 0.1 - 1e-5 and dist.max() <= 20.0 + 1e-5
+    dirs = np.asarray(pts) / dist[:, None]
+    ref_dirs = np.asarray(ref) / np.linalg.norm(np.asarray(ref), axis=-1, keepdims=True)
+    np.testing.assert_allclose(dirs, ref_dirs, atol=1e-5)
+    # Near-identity-plus-floor in the mid-scene regime (the training
+    # distribution): dist = d_min + span*tanh(raw/span) ~= d_min + raw there.
+    mid = jnp.asarray([[0.0, 0.0, math.log1p(1.5)]], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(reg_dense_pts3d(mid, bound=20.0, d_min=0.1)),
+        np.asarray(reg_dense_pts3d(mid)) + np.asarray([0.0, 0.0, 0.1]),
+        rtol=0.01, atol=0.02,
+    )
+
+
+def test_scratch_stabilizer_zero_when_healthy_pulls_when_degenerate():
+    from styl3r_tpu.geometry.gaussians import Gaussians
+    from styl3r_tpu.train.losses import scratch_stabilizer
+
+    def gs(z, op):
+        g = 8
+        means = jnp.concatenate(
+            [jnp.zeros((1, g, 2)), jnp.full((1, g, 1), z)], axis=-1)
+        return Gaussians(
+            means=means, covariances=jnp.zeros((1, g, 3, 3)),
+            harmonics=jnp.zeros((1, g, 3, 1)), opacities=jnp.full((1, g), op),
+        )
+
+    healthy, _ = scratch_stabilizer(gs(1.0, 0.5))
+    assert float(healthy) == 0.0
+    # Degenerate (behind camera, transparent): non-zero loss AND non-zero
+    # gradient on the means/opacities directly (the render path is dead here).
+    bad = gs(-0.5, 0.01)
+    val, metrics = scratch_stabilizer(bad)
+    assert float(val) > 0.0 and float(metrics["stab_z"]) > 0.0
+    grad = jax.grad(lambda g: scratch_stabilizer(g)[0])(bad)
+    assert float(jnp.abs(grad.means).sum()) > 0.0
+    assert float(jnp.abs(grad.opacities).sum()) > 0.0
+    # Outward escape (points far beyond the scene, sub-pixel splats): the
+    # distance ceiling fires with a restoring gradient on the means.
+    far = gs(15.0, 0.5)
+    val_far, m_far = scratch_stabilizer(far)
+    assert float(m_far["stab_dist"]) > 0.0
+    g_far = jax.grad(lambda g: scratch_stabilizer(g)[0])(far)
+    assert float(g_far.means[0, 0, 2]) > 0.0  # pulls z back toward the scene
+
+
+def test_encoder_pts3d_bound_threads_to_heads():
+    rng = np.random.default_rng(2)
+    batch = _batch(rng)
+    model = Styl3rModel(sh_degree=0, pts3d_bound=5.0, **TINY)
+    p = jax.jit(model.init)(jax.random.key(0), batch)
+    gs = model.predict_gaussians(p, batch)
+    dist = np.linalg.norm(np.asarray(gs.means), axis=-1)
+    assert dist.max() <= 5.0 + 1e-4
